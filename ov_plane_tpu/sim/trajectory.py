@@ -1,0 +1,85 @@
+"""Trajectory sources for the simulator.
+
+Two sources:
+
+* :func:`load_trajectory_txt` reads the reference's simulated-trajectory
+  format ``# timestamp(s) tx ty tz qx qy qz qw`` (data/udel_arl.txt:1,
+  SURVEY.md Appendix B) so the reference datasets can be replayed when the
+  files are available at runtime;
+* :func:`room_scan_trajectory` procedurally generates a room-exploration
+  path with the same character (smooth loops, varying height and yaw, ~0.5 m/s)
+  for self-contained tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_trajectory_txt(path: str):
+    """Load (times[N], pos[N,3], quat_GtoI[N,4] JPL xyzw). Mean-centers z like
+    the reference simulator (Simulator.cpp:68-75)."""
+    data = np.loadtxt(path, comments="#")
+    times = data[:, 0]
+    pos = data[:, 1:4].copy()
+    quat = data[:, 4:8].copy()
+    pos[:, 2] -= pos[:, 2].mean()
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    return times, pos, quat
+
+
+def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 0):
+    """Smooth figure-eight room scan with height oscillation and tangent-facing yaw.
+
+    Returns (times, pos, quat_GtoI) in the same convention as the txt loader.
+    The pose looks along the direction of travel with a gentle pitch/roll sway
+    so all IMU axes are excited (needed for calibration observability).
+    """
+    n = int(duration * hz) + 1
+    t = np.arange(n) / hz
+    # Lissajous-style loop inside a ~6x4 m room.
+    wx, wy = 2 * np.pi / 17.0, 2 * np.pi / 9.5
+    px = 2.5 * np.sin(wx * t) + 0.5 * np.sin(3.1 * wy * t) * 0.2
+    py = 1.6 * np.sin(wy * t + 0.7)
+    pz = 0.35 * np.sin(2 * np.pi * t / 7.3) + 0.1 * np.sin(2 * np.pi * t / 2.9)
+    pos = np.stack([px, py, pz], axis=1)
+
+    # Yaw follows velocity direction; add sway.
+    vx = np.gradient(px, t)
+    vy = np.gradient(py, t)
+    yaw = np.unwrap(np.arctan2(vy, vx))
+    pitch = 0.12 * np.sin(2 * np.pi * t / 5.1)
+    roll = 0.10 * np.sin(2 * np.pi * t / 3.7 + 1.0)
+
+    # R_GtoI = (R_z(yaw) R_y(pitch) R_x(roll))ᵀ  (body-to-global transposed).
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    R_ItoG = np.zeros((n, 3, 3))
+    R_ItoG[:, 0, 0] = cz * cy
+    R_ItoG[:, 0, 1] = cz * sy * sx - sz * cx
+    R_ItoG[:, 0, 2] = cz * sy * cx + sz * sx
+    R_ItoG[:, 1, 0] = sz * cy
+    R_ItoG[:, 1, 1] = sz * sy * sx + cz * cx
+    R_ItoG[:, 1, 2] = sz * sy * cx - cz * sx
+    R_ItoG[:, 2, 0] = -sy
+    R_ItoG[:, 2, 1] = cy * sx
+    R_ItoG[:, 2, 2] = cy * cx
+    R_GtoI = R_ItoG.transpose(0, 2, 1)
+
+    # Convert to JPL quats via the library op (vectorized, done in f64).
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.ops.quat import rot_2_quat
+    import jax
+
+    quat = np.asarray(jax.vmap(rot_2_quat)(jnp.asarray(R_GtoI)))
+    pos[:, 2] -= pos[:, 2].mean()
+    return t, pos, quat
+
+
+def get_trajectory(cfg_sim):
+    """Resolve the configured trajectory source."""
+    if cfg_sim.traj_path:
+        return load_trajectory_txt(cfg_sim.traj_path)
+    return room_scan_trajectory(duration=cfg_sim.traj_duration)

@@ -1,0 +1,78 @@
+"""Static error-state layout for the EKF covariance.
+
+The reference grows/shrinks a dense Eigen covariance and re-indexes variables
+at runtime (``State.cpp:33-102``, ``StateHelper::marginalize``
+``StateHelper.cpp:276-344``). XLA requires static shapes, so instead the
+covariance is one fixed ``[D, D]`` array whose layout never changes:
+
+    [ imu(15) | dt(1) | cam_pose(6) | cam_intr(8) | clones(6K) | slam(3L) | planes(3P) ]
+
+with fixed capacities K/L/P from config. Slots are *recycled*: marginalization
+zeroes a slot's rows/columns, delayed initialization writes a fresh block into
+a free slot. Active-slot masks live in the ``VioState`` pytree. Disabled
+calibration states simply keep zero covariance forever (their Kalman gain rows
+are identically zero), which lets one compiled program serve calibrated and
+uncalibrated configs.
+
+Error-state conventions match the reference (JPL, Trawny): pose error is
+[δθ(3), δp(3)]; IMU block order [δθ, δp, δv, δbg, δba] (Propagator.cpp:369-373).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class StateLayout:
+    """Hashable static layout; safe to close over in jitted functions."""
+
+    max_clones: int = 11
+    max_slam: int = 25
+    max_planes: int = 8
+
+    # -- index anchors ------------------------------------------------------
+    IMU_TH: int = 0
+    IMU_P: int = 3
+    IMU_V: int = 6
+    IMU_BG: int = 9
+    IMU_BA: int = 12
+    IMU_SIZE: int = 15
+
+    @property
+    def dt_idx(self) -> int:
+        return self.IMU_SIZE
+
+    @property
+    def cam_pose_idx(self) -> int:
+        return self.IMU_SIZE + 1
+
+    @property
+    def cam_intr_idx(self) -> int:
+        return self.cam_pose_idx + 6
+
+    @property
+    def clone_base(self) -> int:
+        return self.cam_intr_idx + 8
+
+    def clone_idx(self, i: int) -> int:
+        """Start column of clone slot i (6 wide: [δθ, δp])."""
+        return self.clone_base + 6 * i
+
+    @property
+    def slam_base(self) -> int:
+        return self.clone_base + 6 * self.max_clones
+
+    def slam_idx(self, j: int) -> int:
+        return self.slam_base + 3 * j
+
+    @property
+    def plane_base(self) -> int:
+        return self.slam_base + 3 * self.max_slam
+
+    def plane_idx(self, k: int) -> int:
+        return self.plane_base + 3 * k
+
+    @property
+    def dim(self) -> int:
+        return self.plane_base + 3 * self.max_planes

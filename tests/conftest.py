@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with x64.
+
+The real target is TPU, but tests validate numerics (vs float64 NumPy/SciPy
+oracles) and multi-device sharding semantics, both of which are exactly
+reproducible on the CPU backend (SURVEY.md §4 / §7.4).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# host environment presets JAX_PLATFORMS=axon (remote TPU tunnel), which would
+# silently route every test compile through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_tests")
+# Cache every compiled computation (including eager primitive dispatches):
+# this 4-vCPU box pays ~0.3 s per XLA CPU compile, which dominates test time.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
