@@ -1,0 +1,134 @@
+"""Benchmark: simulated VIO replay throughput on the available accelerator.
+
+Runs the config-1 milestone (point-only MSCKF on a simulated room-scan
+sequence) as a batch of Monte-Carlo instances vmapped over one chip and
+reports aggregate frames/sec.
+
+Baseline: the reference (rpng/ov_plane) runs single-threaded on CPU; its
+simulation loop processes camera frames at roughly real-time × small factor.
+BASELINE.md records the protocol; since the repository publishes no numbers
+(SURVEY.md §6), we use 100 frames/s as the reference-CPU working estimate for
+``vs_baseline`` (a desktop-CPU ov_plane sim run; to be replaced by a measured
+number when the reference can be executed).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+# Make the CPU backend available next to the accelerator: the sim builder
+# runs many small eager host ops that would otherwise each round-trip the
+# axon remote-compile server (minutes). The filter replay is explicitly
+# placed on the accelerator below.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_bench")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _accel_device():
+    for plat in ("axon", "tpu", "gpu"):
+        try:
+            devs = jax.devices(plat)
+            if devs:
+                return devs[0]
+        except RuntimeError:
+            continue
+    return jax.devices()[0]
+
+REFERENCE_CPU_FPS = 100.0
+BATCH = 8  # Monte-Carlo instances vmapped on the chip
+
+
+def main():
+    from ov_plane_tpu.eval.metrics import rmse_nees
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
+    from ov_plane_tpu.sim.simulator import build_sim
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = 30.0
+    cfg.state.max_slam_features = 0
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 60
+    cfg.num_pts_plane = 0
+    cfg.tpu.max_features = 192
+    cfg.tpu.max_obs_per_frame = 96
+
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
+    n_frames = int(sim.cam_t_imu.shape[0]) - 1
+    print(f"[bench] sim built in {time.time()-t0:.1f}s ({n_frames} frames)", file=sys.stderr)
+
+    accel = _accel_device()
+    print(f"[bench] accelerator: {accel}", file=sys.stderr)
+    sim = jax.device_put(sim, accel)
+    eng = VioEngine.from_config(cfg)
+
+    def one_run(_seed):
+        state = init_state_with_gt(
+            eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],
+            bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
+        )
+        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        _, _, outs = run_sequence(eng, state, bank, sim, imu_window=cfg.tpu.max_imu_per_frame)
+        return outs.p, outs.q, outs.cov_diag_imu
+
+    batched = jax.jit(jax.vmap(one_run))
+    seeds = jax.device_put(jnp.arange(BATCH), accel)  # computation follows inputs → accel
+
+    t0 = time.time()
+    p, q, cov = batched(seeds)
+    jax.block_until_ready(p)
+    compile_wall = time.time() - t0
+    print(f"[bench] first run (incl. compile): {compile_wall:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    p, q, cov = batched(seeds)
+    jax.block_until_ready(p)
+    wall = time.time() - t0
+
+    fps = BATCH * n_frames / wall
+    metric_fn = jax.jit(rmse_nees)
+    with jax.default_device(cpu):
+        m = metric_fn(
+            jax.device_put(q[0], cpu), jax.device_put(p[0], cpu),
+            jax.device_put(cov[0][:, 0:3], cpu), jax.device_put(cov[0][:, 3:6], cpu),
+            jax.device_put(sim.gt_q[1:], cpu), jax.device_put(sim.gt_p[1:], cpu),
+        )
+    print(
+        f"[bench] {BATCH}x{n_frames} frames in {wall:.2f}s; "
+        f"rmse_pos={float(m['rmse_pos']):.3f}m rmse_ori={float(m['rmse_ori_deg']):.3f}deg "
+        f"nees=({float(m['nees_ori']):.2f},{float(m['nees_pos']):.2f})",
+        file=sys.stderr,
+    )
+    if not (float(m["rmse_pos"]) < 0.5):
+        print("[bench] WARNING: accuracy degraded", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sim_vio_frames_per_sec_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

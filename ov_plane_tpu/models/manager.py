@@ -1,0 +1,370 @@
+"""VIO engine: the per-frame estimation step and sequence replay.
+
+Functional re-design of ``VioManager`` (core/VioManager.cpp): the reference's
+mutable orchestration (feed callbacks, feature DB triage loops, sequential
+updater calls — do_feature_propagate_update :330-986) becomes one pure,
+jittable ``step(state, bank, frame) -> (state, bank, out)`` plus a
+``lax.scan`` replay over a precomputed measurement stream. Monte-Carlo seeds
+and sequences batch with ``vmap`` on top.
+
+Triage (VioManager.cpp:375-506) is masked dataflow:
+
+* lost     = active ∧ no obs in the newest clone slot   (features_not_containing_newer)
+* marg     = active ∧ obs at the oldest clone slot ∧ window full (features_containing(margtime))
+* maxtrack = marg ∧ track length > max_clone_size → SLAM promotion (models/slam.py)
+* MSCKF selection = top-(max_msckf_in_update) of (lost ∪ marg ∪ unpromoted
+  maxtracks) by track length (VioManager.cpp:603-623), padded to a static M.
+
+Used features are freed from the bank afterwards (to_delete semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ov_plane_tpu.models import feature_bank as fb
+from ov_plane_tpu.models.jacobians import JacobianOptions
+from ov_plane_tpu.models.msckf import MsckfOptions, msckf_update
+from ov_plane_tpu.ops import cams
+from ov_plane_tpu.ops.triangulation import TriangulationOptions
+from ov_plane_tpu.state.layout import StateLayout
+from ov_plane_tpu.state.propagator import (
+    PropagatorOptions,
+    marginalize_oldest_clone,
+    propagate_and_clone,
+)
+from ov_plane_tpu.state.vio_state import VioState
+from ov_plane_tpu.utils.config import VioConfig
+
+
+class FrameData(NamedTuple):
+    """One camera frame's inputs (fixed shapes; the scan xs)."""
+
+    imu_t: jnp.ndarray    # [I] window covering [state.t, t_new]
+    imu_w: jnp.ndarray    # [I, 3]
+    imu_a: jnp.ndarray    # [I, 3]
+    t_new: jnp.ndarray    # scalar
+    obs_id: jnp.ndarray   # [O] int32 (-1 pad)
+    obs_uv: jnp.ndarray   # [O, 2]
+    obs_plane: jnp.ndarray  # [O] int32
+
+
+class StepOutput(NamedTuple):
+    t: jnp.ndarray
+    q: jnp.ndarray          # [4] estimated q_GtoI
+    p: jnp.ndarray          # [3]
+    v: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    cov_diag_imu: jnp.ndarray  # [15]
+    n_msckf_used: jnp.ndarray
+    n_clones: jnp.ndarray
+    n_bank: jnp.ndarray
+    n_slam: jnp.ndarray
+    n_planes: jnp.ndarray
+    n_slam_init: jnp.ndarray
+    n_plane_init: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class VioEngine:
+    """Static (hashable) engine parameters derived from VioConfig."""
+
+    layout: StateLayout
+    prop_opts: PropagatorOptions
+    msckf_opts: MsckfOptions
+    slam_opts: "SlamOptions"
+    plane_opts: "PlaneInitOptions"
+    cam_model: int
+    max_clone_size: int
+    max_msckf_in_update: int
+    max_msckf_batch: int       # static M (≥ max_msckf_in_update)
+    gravity_mag: float
+    sigma_w2: float
+    sigma_a2: float
+    sigma_wb2: float
+    sigma_ab2: float
+    min_clones_to_update: int
+    max_slam: int
+    dt_slam_delay: float
+    use_slam: bool
+    use_planes: bool
+
+    @classmethod
+    def from_config(cls, cfg: VioConfig) -> "VioEngine":
+        from ov_plane_tpu.models.plane_init import PlaneInitOptions
+        from ov_plane_tpu.models.slam import SlamOptions
+        from ov_plane_tpu.ops.planefit import PlaneRefineOptions
+
+        lay = StateLayout(
+            max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
+            max_slam=max(cfg.state.max_slam_features, 1),
+            max_planes=cfg.tpu.max_planes,
+        )
+        jac = JacobianOptions(
+            cam_model=cams.RADTAN if cfg.cam_model == "radtan" else cams.EQUI,
+            do_fej=cfg.state.do_fej,
+            do_calib_camera_pose=cfg.state.do_calib_camera_pose,
+            do_calib_camera_intrinsics=cfg.state.do_calib_camera_intrinsics,
+        )
+        tri = TriangulationOptions(
+            min_dist=cfg.featinit.min_dist,
+            max_dist=cfg.featinit.max_dist,
+            max_cond=cfg.featinit.max_cond_number,
+            refine=cfg.featinit.refine_features,
+            max_runs=cfg.featinit.max_runs,
+        )
+        mo = MsckfOptions(
+            jac=jac, tri=tri,
+            sigma_px=cfg.msckf_options.sigma_pix,
+            chi2_multipler=cfg.msckf_options.chi2_multipler,
+            sigma_c=cfg.state.sigma_constraint,
+            use_plane_constraint=cfg.state.use_plane_constraint and cfg.state.use_plane_constraint_msckf,
+        )
+        so = SlamOptions(
+            jac=jac, tri=tri,
+            sigma_px=cfg.slam_options.sigma_pix,
+            chi2_multipler=cfg.slam_options.chi2_multipler,
+            sigma_c=cfg.state.sigma_constraint,
+            use_plane_constraint_slamu=cfg.state.use_plane_constraint and cfg.state.use_plane_constraint_slamu,
+            use_plane_constraint_slamd=cfg.state.use_plane_constraint and cfg.state.use_plane_constraint_slamd,
+            max_init_per_frame=8,
+        )
+        po = PlaneInitOptions(
+            jac=jac, tri=tri,
+            refine=PlaneRefineOptions(sigma_px=cfg.msckf_options.sigma_pix, sigma_c=cfg.state.sigma_constraint),
+            sigma_px=cfg.msckf_options.sigma_pix,
+            sigma_c=cfg.state.sigma_constraint,
+            const_init_multi=cfg.state.const_init_multi,
+            const_init_chi2=cfg.state.const_init_chi2,
+            plane_init_min_feat=cfg.state.plane_init_min_feat,
+            plane_init_max_cond=cfg.state.plane_init_max_cond,
+            max_msckf_plane=cfg.state.max_msckf_plane,
+            use_refine_plane_feat=cfg.state.use_refine_plane_feat,
+        )
+        return cls(
+            layout=lay,
+            prop_opts=PropagatorOptions(
+                use_rk4=cfg.state.use_rk4_integration,
+                imu_avg=cfg.state.imu_avg,
+                do_fej=cfg.state.do_fej,
+                do_calib_camera_timeoffset=cfg.state.do_calib_camera_timeoffset,
+            ),
+            msckf_opts=mo,
+            slam_opts=so,
+            plane_opts=po,
+            cam_model=jac.cam_model,
+            max_clone_size=cfg.state.max_clone_size,
+            max_msckf_in_update=cfg.state.max_msckf_in_update,
+            max_msckf_batch=max(cfg.tpu.max_msckf_update, cfg.state.max_msckf_in_update),
+            gravity_mag=cfg.gravity_mag,
+            sigma_w2=cfg.imu_noises.sigma_w_2,
+            sigma_a2=cfg.imu_noises.sigma_a_2,
+            sigma_wb2=cfg.imu_noises.sigma_wb_2,
+            sigma_ab2=cfg.imu_noises.sigma_ab_2,
+            min_clones_to_update=min(cfg.state.max_clone_size, 5),
+            max_slam=cfg.state.max_slam_features,
+            dt_slam_delay=2.0,
+            use_slam=cfg.state.max_slam_features > 0,
+            use_planes=cfg.state.use_plane_constraint and cfg.state.use_plane_slam_feats,
+        )
+
+
+def init_state_with_gt(eng: VioEngine, cfg: VioConfig, t0, q0, p0, v0, bg0, ba0, dtype=jnp.float64) -> VioState:
+    """Ground-truth initialization (VioManager::initialize_with_gt,
+    VioManagerHelper.cpp:46-82): exact mean, fixed diagonal prior."""
+    lay = eng.layout
+    st = VioState.create(lay, dtype)
+    imu = jnp.concatenate([jnp.asarray(q0, dtype), jnp.asarray(p0, dtype), jnp.asarray(v0, dtype),
+                           jnp.asarray(bg0, dtype), jnp.asarray(ba0, dtype)])
+    cov = jnp.zeros((lay.dim, lay.dim), dtype)
+    d = jnp.concatenate([
+        jnp.full(3, 0.02**2), jnp.full(3, 0.05**2), jnp.full(3, 0.01**2),
+        jnp.full(3, 0.02**2), jnp.full(3, 0.02**2),
+    ]).astype(dtype)
+    cov = cov.at[:15, :15].set(jnp.diag(d))
+    st = st.replace(
+        t=jnp.asarray(t0, dtype), startup_t=jnp.asarray(t0, dtype),
+        imu=imu, imu_fej=imu, cov=cov,
+        calib_cam=jnp.asarray(cfg.cam_extrinsics, dtype),
+        cam_zeta=jnp.asarray(cfg.cam_intrinsics, dtype),
+        calib_dt=jnp.asarray(cfg.calib_camimu_dt, dtype),
+    )
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("eng",))
+def triage(eng: VioEngine, state: VioState, bank: fb.FeatureBank, cur_slot, allow_slam):
+    """Feature triage (VioManager.cpp:375-506).
+
+    Returns (sel_idx[M], sel_valid[M], slam_idx[S], slam_valid[S]):
+    MSCKF selection (top max_msckf_in_update by track length among
+    lost ∪ marg, excluding SLAM promotions) and SLAM promotion candidates
+    (max-track features, up to free landmark capacity).
+    """
+    M = eng.max_msckf_batch
+    S = eng.slam_opts.max_init_per_frame
+    active = bank.active & ~bank.is_slam
+    seen_now = bank.mask[:, cur_slot]
+    lost = active & ~seen_now
+    marg_slot = state.oldest_clone_slot
+    window_full = state.num_clones > eng.max_clone_size
+    marg = active & bank.mask[:, marg_slot] & window_full
+    nobs = bank.n_obs
+
+    # SLAM promotion: full-window tracks at the marg boundary.
+    maxtrack = marg & (nobs > eng.max_clone_size)
+    free_cap = eng.max_slam - jnp.sum(state.slam_active)
+    s_score = jnp.where(maxtrack & allow_slam & jnp.asarray(eng.use_slam), nobs, -1)
+    s_scores, slam_idx = jax.lax.top_k(s_score, S)
+    slam_valid = (s_scores > 0) & (jnp.arange(S) < free_cap)
+    promoted = jnp.zeros((bank.fid.shape[0] + 1,), bool).at[
+        jnp.where(slam_valid, slam_idx, bank.fid.shape[0])
+    ].set(True)[:-1]
+
+    candidates = (lost | marg) & ~promoted & (nobs >= 2)
+    score = jnp.where(candidates, nobs, -1)
+    top_scores, sel_idx = jax.lax.top_k(score, M)
+    rank_ok = jnp.arange(M) < eng.max_msckf_in_update
+    sel_valid = (top_scores >= 2) & rank_ok
+    return sel_idx, sel_valid, slam_idx, slam_valid
+
+
+@functools.partial(jax.jit, static_argnames=("eng",))
+def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData):
+    """One camera frame (do_feature_propagate_update, VioManager.cpp:330-986):
+
+    propagate+clone → ingest → triage → marginalize lost SLAM / unseen planes
+    → plane delayed init → MSCKF update (plane-aware) → SLAM update → SLAM
+    delayed init → free consumed tracks → marginalize oldest clone.
+    """
+    from ov_plane_tpu.models.plane_init import marginalize_unseen_planes, plane_delayed_init
+    from ov_plane_tpu.models.slam import marginalize_lost_slam, slam_delayed_init, slam_update
+
+    lay = eng.layout
+    dtype = state.imu.dtype
+    noises = jnp.asarray([eng.sigma_w2, eng.sigma_a2, eng.sigma_wb2, eng.sigma_ab2], dtype)
+    gravity = jnp.asarray([0.0, 0.0, eng.gravity_mag], dtype)
+
+    # 1. Propagate + stochastic clone into a recycled slot.
+    state, new_slot = propagate_and_clone(
+        state, frame.imu_t, frame.imu_w, frame.imu_a, frame.t_new, noises, gravity, eng.prop_opts
+    )
+
+    # 2. Undistort + ingest the frame's observations at the new clone slot.
+    zeta = state.cam_zeta
+    uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(frame.obs_uv)
+    bank = fb.clear_clone_column(bank, new_slot)
+    bank = fb.ingest(bank, frame.obs_id, frame.obs_uv, uvn, frame.obs_plane, new_slot)
+
+    # 3. Triage (masked off until enough clones, VioManager.cpp:355).
+    can_update = state.num_clones >= eng.min_clones_to_update
+    past_delay = (state.t - state.startup_t) >= eng.dt_slam_delay
+    sel_idx, sel_valid, slam_idx, slam_valid = triage(eng, state, bank, new_slot, can_update & past_delay)
+    sel_valid = sel_valid & can_update
+    slam_valid = slam_valid & can_update
+
+    n_slam_marg = jnp.zeros((), jnp.int32)
+    n_plane_init = jnp.zeros((), jnp.int32)
+    n_slam_init = jnp.zeros((), jnp.int32)
+    n_slam_upd = jnp.zeros((), jnp.int32)
+
+    if eng.use_slam:
+        # 4. Marginalize lost SLAM landmarks (StateHelper::marginalize_slam).
+        state, n_slam_marg = marginalize_lost_slam(state, bank)
+
+    if eng.use_planes:
+        # 5. Plane housekeeping + delayed plane initialization.
+        marged_state, _ = marginalize_unseen_planes(state, bank, new_slot)
+        state = jax.tree.map(lambda a, b: jnp.where(can_update & past_delay, a, b), marged_state, state)
+        init_state2, init_bank2, n_plane_init = plane_delayed_init(state, bank, eng.plane_opts, new_slot)
+        do_pinit = can_update & past_delay
+        state = jax.tree.map(lambda a, b: jnp.where(do_pinit, a, b), init_state2, state)
+        bank = jax.tree.map(lambda a, b: jnp.where(do_pinit, a, b), init_bank2, bank)
+
+    # 6. MSCKF update (plane rows for features whose plane is a state).
+    sel_uv = bank.uv[sel_idx]
+    sel_uvn = bank.uvn[sel_idx]
+    sel_mask = bank.mask[sel_idx] & sel_valid[:, None]
+    sel_pid = bank.planeid[sel_idx]
+    peq = (sel_pid[:, None] == state.plane_id[None, :]) & state.plane_active[None, :] & (sel_pid >= 0)[:, None]
+    p_in_state = jnp.any(peq, axis=1)
+    p_slot = jnp.argmax(peq, axis=1).astype(jnp.int32)
+    sel_cp = state.plane_cp[p_slot]
+    sel_cp_fej = state.plane_cp_fej[p_slot]
+    has_plane = p_in_state  # only in-state planes use rows in this path
+
+    new_state, used, _, _ = msckf_update(
+        state, eng.msckf_opts, sel_uv, sel_uvn, sel_mask,
+        sel_cp, sel_cp_fej, has_plane, p_in_state, p_slot,
+    )
+    state = new_state
+
+    if eng.use_slam:
+        # 7. SLAM landmark update with newest observations.
+        upd_state, n_slam_upd = slam_update(state, bank, eng.slam_opts, new_slot)
+        state = jax.tree.map(lambda a, b: jnp.where(can_update, a, b), upd_state, state)
+        # 8. SLAM delayed init of promoted max-tracks.
+        init_state, init_bank, n_slam_init = slam_delayed_init(state, bank, eng.slam_opts, slam_idx, slam_valid)
+        state = init_state
+        bank = init_bank
+
+    # 9. Free consumed MSCKF rows (to_delete semantics).
+    F = bank.fid.shape[0]
+    consumed_rows = jnp.zeros((F + 1,), bool).at[
+        jnp.where(sel_valid, sel_idx, F)
+    ].set(True)[:F]
+    bank = fb.free_rows(bank, consumed_rows)
+
+    # 10. Marginalize the oldest clone if over budget; clear its obs column.
+    marg_slot = state.oldest_clone_slot
+    over = state.num_clones > eng.max_clone_size
+    state = marginalize_oldest_clone(state, eng.max_clone_size)
+    bank_cleared = fb.clear_clone_column(bank, marg_slot)
+    bank = jax.tree.map(lambda a, b: jnp.where(over, a, b), bank_cleared, bank)
+
+    out = StepOutput(
+        t=state.t, q=state.imu[0:4], p=state.imu[4:7], v=state.imu[7:10],
+        bg=state.imu[10:13], ba=state.imu[13:16],
+        cov_diag_imu=jnp.diag(state.cov)[:15],
+        n_msckf_used=jnp.sum(used & sel_valid),
+        n_clones=state.num_clones,
+        n_bank=jnp.sum(bank.active),
+        n_slam=jnp.sum(state.slam_active),
+        n_planes=jnp.sum(state.plane_active),
+        n_slam_init=n_slam_init,
+        n_plane_init=n_plane_init,
+    )
+    return state, bank, out
+
+
+@functools.partial(jax.jit, static_argnames=("eng", "imu_window"))
+def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data, imu_window: int):
+    """Replay a whole simulated sequence under lax.scan (config-1 milestone).
+
+    sim_data: a sim.simulator.SimData. Frame 0 is the initialization frame
+    (state must already be initialized at sim_data.cam_t_imu[0]).
+    """
+    n_frames = sim_data.cam_t_imu.shape[0]
+
+    def body(carry, i):
+        st, bk = carry
+        start = sim_data.imu_window_start[i]
+        z = jnp.zeros((), start.dtype)
+        imu_t = jax.lax.dynamic_slice(sim_data.imu_t, (start,), (imu_window,))
+        imu_w = jax.lax.dynamic_slice(sim_data.imu_w, (start, z), (imu_window, 3))
+        imu_a = jax.lax.dynamic_slice(sim_data.imu_a, (start, z), (imu_window, 3))
+        frame = FrameData(
+            imu_t=imu_t, imu_w=imu_w, imu_a=imu_a, t_new=sim_data.cam_t_imu[i],
+            obs_id=sim_data.obs_id[i], obs_uv=sim_data.obs_uv[i], obs_plane=sim_data.obs_plane[i],
+        )
+        st, bk, out = step(eng, st, bk, frame)
+        return (st, bk), out
+
+    (state, bank), outs = jax.lax.scan(body, (state, bank), jnp.arange(1, n_frames))
+    return state, bank, outs

@@ -1,0 +1,203 @@
+"""Delayed CP-plane initialization into the state + plane bookkeeping.
+
+Re-design of ``UpdaterPlane::init_vio_plane`` (update/UpdaterPlane.cpp:61-481)
+plus the plane marginalization half of ``merge_planes_and_marginalize``
+(StateHelper.cpp:738-757):
+
+* candidate planes are discovered on device: distinct frontend plane ids among
+  eligible bank features (O(F²) masked equality — F is a few hundred), ranked
+  by supporting-feature count, top-(free slots) processed under a bounded
+  ``lax.scan``;
+* per candidate: gather ≤ max_msckf_plane best features (cap,
+  UpdaterPlane.cpp:189-190) → batched triangulation → LSQ plane fit with
+  condition gate (plane_init_max_cond) → joint GN refine (ops/planefit) →
+  stacked per-feature Jacobians with CP columns kept → per-feature nullspace
+  projection of the point columns → compression → QR split on the CP columns
+  → chi2 gate (const_init_chi2, noise inflation const_init_multi) →
+  initialize_invertible into a free plane slot + leftover update;
+* features consumed by a successful init are freed (featsup_INIT_used →
+  to_delete, VioManager.cpp:591-601);
+* planes with no supporting observation in the current frame are marginalized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ov_plane_tpu.models import feature_bank as fb
+from ov_plane_tpu.models.jacobians import JacobianOptions, clone_set_from_state, feature_jacobian_full
+from ov_plane_tpu.ops import ekf
+from ov_plane_tpu.ops.planefit import PlaneRefineOptions, fit_plane_lsq, refine_plane_joint
+from ov_plane_tpu.ops.triangulation import TriangulationOptions, triangulate
+from ov_plane_tpu.state.vio_state import VioState
+from ov_plane_tpu.utils.chi2 import CHI2_095_TABLE
+
+
+class PlaneInitOptions(NamedTuple):
+    jac: JacobianOptions = JacobianOptions()
+    tri: TriangulationOptions = TriangulationOptions()
+    refine: PlaneRefineOptions = PlaneRefineOptions()
+    sigma_px: float = 1.0
+    sigma_c: float = 0.05
+    const_init_multi: float = 5.0
+    const_init_chi2: float = 1.0
+    plane_init_min_feat: int = 10
+    plane_init_max_cond: float = 50.0
+    max_msckf_plane: int = 20
+    max_inits_per_frame: int = 2
+    use_refine_plane_feat: bool = True
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOptions, cur_slot):
+    """Try to initialize new CP plane states. Returns (state, bank, n_inited)."""
+    lay = state.layout
+    K = lay.max_clones
+    D = lay.dim
+    dtype = state.imu.dtype
+    F = bank.fid.shape[0]
+    Mp = opts.max_msckf_plane
+    table = jnp.asarray(CHI2_095_TABLE, dtype)
+
+    clone_active = jnp.isfinite(state.clones_t)
+
+    # ----- candidate plane discovery --------------------------------------
+    eligible = bank.active & ~bank.is_slam & (bank.planeid >= 0) & (bank.n_obs >= 2)
+    pid = jnp.where(eligible, bank.planeid, -1)
+    eq = (pid[:, None] == pid[None, :]) & (pid >= 0)[:, None]
+    count = jnp.sum(eq, axis=1)
+    lower = jnp.tril(jnp.ones((F, F), bool), k=-1)
+    is_first = ~jnp.any(eq & lower, axis=1) & (pid >= 0)
+    in_state = jnp.any((pid[:, None] == state.plane_id[None, :]) & state.plane_active[None, :], axis=1)
+    score = jnp.where(is_first & ~in_state & (count >= opts.plane_init_min_feat), count, -1)
+    cand_scores, cand_rows = jax.lax.top_k(score, opts.max_inits_per_frame)
+    cand_pids = jnp.where(cand_scores > 0, pid[cand_rows], -1)
+
+    # ----- per-candidate init under scan ----------------------------------
+    def body(carry, c):
+        st, bk = carry
+        plane = cand_pids[c]
+        valid = plane >= 0
+
+        free = ~st.plane_active
+        has_free = jnp.any(free)
+        slot = jnp.argmax(free).astype(jnp.int32)
+        valid = valid & has_free
+
+        # Gather the best supporting features.
+        on_plane = bk.active & ~bk.is_slam & (bk.planeid == plane) & valid
+        fscore = jnp.where(on_plane, bk.n_obs, -1)
+        fs, fidx = jax.lax.top_k(fscore, Mp)
+        fvalid = fs >= 2
+
+        uv = bk.uv[fidx]
+        uvn = bk.uvn[fidx]
+        masks = bk.mask[fidx] & fvalid[:, None] & clone_active[None, :]
+
+        clones = clone_set_from_state(st)
+        p_f, tri_ok = triangulate(uvn, masks, clones.R_GtoC, clones.p_CinG, opts.tri)
+        fvalid = fvalid & tri_ok
+        masks = masks & fvalid[:, None]
+
+        # Plane fit + joint refine (PlaneFitting::plane_fitting + optimize_plane).
+        cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
+        valid = valid & fit_ok & (cond <= opts.plane_init_max_cond) & (jnp.sum(fvalid) >= opts.plane_init_min_feat)
+        if opts.use_refine_plane_feat:
+            cp, p_f2, ref_ok = refine_plane_joint(
+                cp0, p_f, uvn, masks, fvalid, jnp.zeros_like(fvalid),
+                clones.R_GtoC, clones.p_CinG, opts.refine,
+            )
+            cp = jnp.where(ref_ok, cp, cp0)
+            p_f = jnp.where(ref_ok, p_f2, p_f)
+        else:
+            cp = cp0
+
+        # Stacked Jacobians with CP in the H_f[:,3:6] columns (not in state).
+        def jac_one(uv_f, m_f, pf):
+            return feature_jacobian_full(
+                lay, opts.jac, clones, uv_f, m_f, pf, pf, cp, cp,
+                jnp.asarray(True), jnp.asarray(False), jnp.zeros((), jnp.int32),
+                opts.sigma_px, opts.sigma_c,
+            )
+
+        H_x, H_f, res, rmask = jax.vmap(jac_one)(uv, masks, p_f)
+        okf = fvalid.astype(dtype)
+        H_x = H_x * okf[:, None, None]
+        H_f = H_f * okf[:, None, None]
+        res = res * okf[:, None]
+
+        # Per-feature nullspace projection of the point columns, keeping
+        # [H_cp | H_x | res] (UpdaterPlane::nullspace_project_inplace :483-517).
+        def proj_one(hx, hf, r):
+            stacked = jnp.concatenate([hf[:, 3:6], hx, r[:, None]], axis=1)
+            out, _ = ekf.nullspace_project(hf[:, 0:3], stacked, r)
+            return out
+
+        proj = jax.vmap(proj_one)(H_x, H_f, res)          # [Mp, 3K-3, 3+D+1]
+        big = proj.reshape(Mp * (3 * K - 3), 3 + D + 1)
+        # Compress (UpdaterPlane::measurement_compress_inplace :519-552).
+        bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
+        H_cp_c = bigc[:, 0:3]
+        H_x_c = bigc[:, 3:3 + D]
+        res_c = bigc[:, 3 + D]
+
+        # QR split on CP columns → invertible init + update portions.
+        HL_i, HR_i, res_i, HR_u, res_u = ekf.qr_init_split(H_cp_c, H_x_c, res_c)
+
+        r_mult = jnp.asarray(opts.const_init_multi, dtype)
+        n_rows = jnp.sum(rmask & fvalid[:, None])
+        chi2 = ekf.innovation_chi2(st.cov, HR_u, res_u, jnp.full_like(res_u, r_mult))
+        dof = jnp.maximum(n_rows, 1)
+        passed = chi2 <= opts.const_init_chi2 * table[jnp.clip(dof, 1, table.shape[0] - 1)]
+        diag_ok = jnp.all(jnp.abs(jnp.diag(HL_i)) > 1e-8)
+        do_init = valid & passed & diag_ok
+
+        slot_col = lay.plane_base + 3 * slot
+        new_cov, dx_new = ekf.initialize_invertible(
+            st, slot_col, HR_i, HL_i, jnp.full((3,), r_mult), res_i
+        )
+        cp_init = cp + dx_new
+        st_new = st.replace(
+            cov=new_cov,
+            plane_cp=st.plane_cp.at[slot].set(cp_init),
+            plane_cp_fej=st.plane_cp_fej.at[slot].set(cp_init),
+            plane_id=st.plane_id.at[slot].set(plane),
+            plane_active=st.plane_active.at[slot].set(True),
+        )
+        st_upd, _ = ekf.ekf_update(st_new, HR_u, res_u, jnp.full_like(res_u, r_mult))
+        st_out = jax.tree.map(lambda a, b: jnp.where(do_init, a, b), st_upd, st)
+
+        # Consume the used features.
+        consumed = jnp.zeros((F + 1,), bool).at[jnp.where(fvalid, fidx, F)].set(True)[:F]
+        bk_freed = fb.free_rows(bk, consumed)
+        bk_out = jax.tree.map(lambda a, b: jnp.where(do_init, a, b), bk_freed, bk)
+        return (st_out, bk_out), do_init
+
+    (state, bank), inited = jax.lax.scan(body, (state, bank), jnp.arange(opts.max_inits_per_frame))
+    return state, bank, jnp.sum(inited)
+
+
+@jax.jit
+def marginalize_unseen_planes(state: VioState, bank: fb.FeatureBank, cur_slot):
+    """Marginalize plane states with no supporting feature association in the
+    current frame (StateHelper.cpp:738-757)."""
+    lay = state.layout
+    seen_feat = bank.active & bank.mask[:, cur_slot] & (bank.planeid >= 0)
+    supported = jax.vmap(
+        lambda pidd: jnp.any(seen_feat & (bank.planeid == pidd))
+    )(state.plane_id)
+    drop = state.plane_active & ~supported
+
+    def zero_one(i, cov):
+        return jnp.where(drop[i], ekf.zero_slot(cov, lay.plane_base + 3 * i, 3), cov)
+
+    cov = jax.lax.fori_loop(0, lay.max_planes, zero_one, state.cov)
+    return state.replace(
+        cov=cov,
+        plane_active=state.plane_active & ~drop,
+        plane_id=jnp.where(drop, -1, state.plane_id),
+    ), jnp.sum(drop)

@@ -73,10 +73,12 @@ def clone_block(cov: jnp.ndarray, src: int, dst, size: int) -> jnp.ndarray:
     """Stochastic cloning: copy rows/cols of [src, src+size) into slot dst
     (StateHelper::clone, StateHelper.cpp:346-396). dst may be traced; the dst
     slot must be zero (marginalized) beforehand."""
+    dst = jnp.asarray(dst)
+    z = jnp.zeros((), dst.dtype)
     col = jax.lax.dynamic_slice(cov, (0, src), (cov.shape[0], size))       # [D, size]
     blk = jax.lax.dynamic_slice(cov, (src, src), (size, size))             # [size, size]
-    cov = jax.lax.dynamic_update_slice(cov, col, (0, dst))
-    cov = jax.lax.dynamic_update_slice(cov, col.T, (dst, jnp.zeros_like(dst)))
+    cov = jax.lax.dynamic_update_slice(cov, col, (z, dst))
+    cov = jax.lax.dynamic_update_slice(cov, col.T, (dst, z))
     cov = jax.lax.dynamic_update_slice(cov, blk, (dst, dst))
     return cov
 
@@ -87,12 +89,14 @@ def augment_clone_timeoffset(cov: jnp.ndarray, dst, dnc_dt: jnp.ndarray, dt_idx:
     (StateHelper::augment_clone, StateHelper.cpp:613-624): the new clone pose
     is a function of the camera-IMU time offset with d(clone)/d(dt) = dnc_dt[6]."""
     d = cov.shape[0]
+    dst = jnp.asarray(dst)
+    z = jnp.zeros((), dst.dtype)
     cov_dt_col = jax.lax.dynamic_slice(cov, (0, dt_idx), (d, 1))           # [D, 1]
     add = cov_dt_col @ dnc_dt[None, :]                                      # [D, 6]
-    cur_cols = jax.lax.dynamic_slice(cov, (0, dst), (d, 6))
-    cov = jax.lax.dynamic_update_slice(cov, cur_cols + add, (0, dst))
-    cur_rows = jax.lax.dynamic_slice(cov, (dst, jnp.zeros_like(dst)), (6, d))
-    cov = jax.lax.dynamic_update_slice(cov, cur_rows + add.T, (dst, jnp.zeros_like(dst)))
+    cur_cols = jax.lax.dynamic_slice(cov, (z, dst), (d, 6))
+    cov = jax.lax.dynamic_update_slice(cov, cur_cols + add, (z, dst))
+    cur_rows = jax.lax.dynamic_slice(cov, (dst, z), (6, d))
+    cov = jax.lax.dynamic_update_slice(cov, cur_rows + add.T, (dst, z))
     return cov
 
 
@@ -274,8 +278,10 @@ def initialize_invertible(state: VioState, slot_start, H_R: jnp.ndarray, H_L: jn
     P_LL = H_Linv @ M @ H_Linv.T
     cross = -Ma @ H_Linv.T                              # [D, c]
     cov = state.cov
-    cov = jax.lax.dynamic_update_slice(cov, cross, (0, slot_start))
-    cov = jax.lax.dynamic_update_slice(cov, cross.T, (slot_start, jnp.zeros_like(slot_start)))
+    slot_start = jnp.asarray(slot_start)
+    z = jnp.zeros((), slot_start.dtype)
+    cov = jax.lax.dynamic_update_slice(cov, cross, (z, slot_start))
+    cov = jax.lax.dynamic_update_slice(cov, cross.T, (slot_start, z))
     cov = jax.lax.dynamic_update_slice(cov, P_LL, (slot_start, slot_start))
     dx_new = H_Linv @ res
     return cov, dx_new

@@ -1,0 +1,200 @@
+"""Plane estimation from sparse points: closed-form fit + joint GN refinement.
+
+Re-design of ``PlaneFitting`` (track_plane/PlaneFitting.cpp):
+
+* :func:`fit_plane_lsq` — the linear A·x = −1 fit with condition-number gate
+  (fit_plane :43-81), masked/batched;
+* :func:`refine_plane_joint` — the Ceres ``optimize_plane`` (:197-514)
+  replaced by a fixed-iteration Gauss-Newton with analytic Schur elimination:
+  features (3 dof each) are eliminated in closed form per iteration, leaving a
+  3×3 CP system — the same DENSE_SCHUR structure Ceres exploits, but batched
+  and jit-compiled. Poses are constants (as in the reference: only features +
+  plane optimize). Huber-style reweighting approximates the Cauchy loss.
+* :func:`refine_point_on_plane` — project a single feature onto a fixed plane
+  by GN on (reprojection + constraint) residuals (used by the SLAM
+  plane-refined delayed init, UpdaterSLAM.cpp:147-202).
+
+CP convention matches the reference: plane normal n = cp/‖cp‖, offset
+d = ‖cp‖, point-on-plane residual (n·p − d)/σc.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ov_plane_tpu.ops.ekf import inv3
+from ov_plane_tpu.ops.triangulation import eigvals_sym3
+
+
+class PlaneRefineOptions(NamedTuple):
+    iters: int = 10
+    lam_init: float = 1e-4
+    sigma_px: float = 1.0
+    sigma_c: float = 0.05
+    slam_sigma_multi: float = 2.0   # inflation for fixed SLAM feats (PlaneFitting.cpp:330)
+
+
+def fit_plane_lsq(points, mask):
+    """Least-squares plane through masked points.
+
+    Solves A x = −1 (rows = point coordinates); returns (cp[3], cond, ok).
+    cond = sqrt(λmax/λmin) of AᵀA — the reference's singular-value ratio gate
+    (PlaneFitting.cpp:43-81).
+    """
+    m = mask.astype(points.dtype)
+    A = points * m[:, None]
+    AtA = A.T @ A
+    Atb = -jnp.sum(A, axis=0)
+    x = inv3(AtA) @ Atb
+    eig = eigvals_sym3(AtA)
+    cond = jnp.sqrt(jnp.abs(eig[2]) / jnp.maximum(jnp.abs(eig[0]), 1e-18))
+    norm_x = jnp.linalg.norm(x)
+    ok = (jnp.sum(mask) >= 3) & (norm_x > 1e-9) & jnp.all(jnp.isfinite(x))
+    # Plane x·p + 1 = 0  →  n = −x/‖x‖, d = 1/‖x‖, cp = n·d = −x/‖x‖².
+    cp = -x / jnp.maximum(norm_x**2, 1e-18)
+    return cp, cond, ok
+
+
+def _reproj_system(p, uvn, mask, R_GtoC, p_CinG, white_px):
+    """Whitened reprojection residuals + Jacobians for one feature.
+    Returns (r [K,2], J [K,2,3])."""
+    p_FinC = jnp.einsum("kij,kj->ki", R_GtoC, p[None, :] - p_CinG)
+    z = jnp.where(jnp.abs(p_FinC[:, 2]) < 1e-6, 1e-6, p_FinC[:, 2])
+    pred = p_FinC[:, :2] / z[:, None]
+    r = (uvn - pred) * mask[:, None] * white_px
+    dz = jnp.stack(
+        [
+            jnp.stack([1.0 / z, jnp.zeros_like(z), -p_FinC[:, 0] / z**2], axis=1),
+            jnp.stack([jnp.zeros_like(z), 1.0 / z, -p_FinC[:, 1] / z**2], axis=1),
+        ],
+        axis=1,
+    )
+    J = -jnp.einsum("kab,kbc->kac", dz, R_GtoC) * mask[:, None, None] * white_px
+    return r, J
+
+
+def _plane_residual(p, cp, white_c):
+    """e = wc·(n·p − d) and its Jacobians wrt p and cp (Factor_PointOnPlane
+    analytic Jacobians, ceres/Factor_PointOnPlane.cpp:39-72)."""
+    d = jnp.linalg.norm(cp)
+    d = jnp.maximum(d, 1e-9)
+    n = cp / d
+    e = (n @ p - d) * white_c
+    J_p = n * white_c
+    J_cp = (p - (n @ p) * n - d * n) / d * white_c
+    return e, J_p, J_cp
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
+                       R_GtoC, p_CinG, opts: PlaneRefineOptions):
+    """Joint GN over (features, cp) with per-iteration Schur elimination.
+
+    cp0 [3]; feats0 [N,3]; uvn [N,K,2]; mask [N,K]; feat_valid [N];
+    is_fixed [N] (SLAM features held fixed, constraint sigma inflated —
+    PlaneFitting.cpp:318-336). Returns (cp, feats, ok).
+    """
+    dtype = cp0.dtype
+    white_px = 1.0 / opts.sigma_px
+    N = feats0.shape[0]
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def iteration(carry, _):
+        cp, feats, lam = carry
+
+        white_c = jnp.where(is_fixed, 1.0 / (opts.slam_sigma_multi * opts.sigma_c), 1.0 / opts.sigma_c)
+
+        def per_feat(p, uvn_f, mask_f, wc):
+            # e_re = w(meas − pred), A = ∂e_re/∂p; e_pl = wc(n·p − d),
+            # b = ∂e_pl/∂p, c = ∂e_pl/∂cp. GN: H = JᵀJ, g = −Jᵀe, x += H⁻¹g.
+            e_re, A = _reproj_system(p, uvn_f, mask_f, R_GtoC, p_CinG, white_px)
+            e_pl, b, c = _plane_residual(p, cp, wc)
+            Hff = jnp.einsum("kai,kaj->ij", A, A) + jnp.outer(b, b)
+            gf = -(jnp.einsum("kai,ka->i", A, e_re) + b * e_pl)
+            Hfc = jnp.outer(b, c)
+            Hcc_i = jnp.outer(c, c)
+            gc_i = -c * e_pl
+            return Hff, gf, Hfc, Hcc_i, gc_i
+
+        Hff, gf, Hfc, Hcc_i, gc_i = jax.vmap(per_feat)(feats, uvn, mask, white_c)
+        vf = (feat_valid & jnp.all(jnp.isfinite(feats), axis=1)).astype(dtype)
+        Hff = Hff * vf[:, None, None] + (1 - vf)[:, None, None] * I3[None]
+        gf = gf * vf[:, None]
+        Hfc = Hfc * vf[:, None, None]
+        Hcc_i = Hcc_i * vf[:, None, None]
+        gc_i = gc_i * vf[:, None]
+
+        # LM damping on the feature blocks.
+        Hff_d = Hff + lam * I3[None] * jnp.maximum(jnp.einsum("nii->n", Hff), 1e-9)[:, None, None] / 3.0
+        Hff_inv = jax.vmap(inv3)(Hff_d)
+        # Fixed (SLAM) features contribute their plane residual to cp directly
+        # but are not eliminated (they don't move).
+        frees = ((~is_fixed) & feat_valid).astype(dtype)
+        Hfc_free = Hfc * frees[:, None, None]
+        HfcT = jnp.swapaxes(Hfc_free, 1, 2)
+
+        Hcc = jnp.sum(Hcc_i, axis=0) - jnp.einsum("nij,njk,nkl->il", HfcT, Hff_inv, Hfc_free)
+        gc = jnp.sum(gc_i, axis=0) - jnp.einsum("nij,njk,nk->i", HfcT, Hff_inv, gf * frees[:, None])
+        Hcc = Hcc + lam * jnp.maximum(jnp.trace(Hcc), 1e-9) / 3.0 * I3
+        dc = inv3(Hcc) @ gc
+        df = jnp.einsum("nij,nj->ni", Hff_inv, gf - jnp.einsum("nij,j->ni", Hfc, dc))
+        df = df * frees[:, None]
+
+        def cost(cp_c, feats_c):
+            def c_one(p, uvn_f, mask_f, wc, v):
+                e_re, _ = _reproj_system(p, uvn_f, mask_f, R_GtoC, p_CinG, white_px)
+                e_pl, _, _ = _plane_residual(p, cp_c, wc)
+                return (jnp.sum(e_re**2) + e_pl**2) * v
+            return jnp.sum(jax.vmap(c_one)(feats_c, uvn, mask, white_c, vf))
+
+        c_old = cost(cp, feats)
+        cp_new = cp + dc
+        feats_new = feats + df
+        c_new = cost(cp_new, feats_new)
+        better = c_new < c_old
+        cp = jnp.where(better, cp_new, cp)
+        feats = jnp.where(better, feats_new, feats)
+        lam = jnp.where(better, jnp.maximum(lam / 10.0, 1e-10), jnp.minimum(lam * 10.0, 1e6))
+        return (cp, feats, lam), c_new
+
+    (cp, feats, _), _ = jax.lax.scan(
+        iteration, (cp0, feats0, jnp.asarray(opts.lam_init, dtype)), None, length=opts.iters
+    )
+    ok = jnp.all(jnp.isfinite(cp)) & (jnp.linalg.norm(cp) > 1e-6)
+    return cp, feats, ok
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def refine_point_on_plane(p0, cp, uvn, mask, R_GtoC, p_CinG, opts: PlaneRefineOptions):
+    """GN refine a single feature against a FIXED plane (UpdaterSLAM plane-
+    refined triangulation). Returns refined p."""
+    dtype = p0.dtype
+    white_px = 1.0 / opts.sigma_px
+    white_c = 1.0 / opts.sigma_c
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def body(carry, _):
+        p, lam = carry
+        e_re, A = _reproj_system(p, uvn, mask, R_GtoC, p_CinG, white_px)
+        e_pl, b, _ = _plane_residual(p, cp, white_c)
+        H = jnp.einsum("kai,kaj->ij", A, A) + jnp.outer(b, b)
+        g = -(jnp.einsum("kai,ka->i", A, e_re) + b * e_pl)
+        H = H + lam * I3 * jnp.maximum(jnp.trace(H), 1e-9) / 3.0
+        dp = inv3(H) @ g
+
+        def cost(pc):
+            rr, _ = _reproj_system(pc, uvn, mask, R_GtoC, p_CinG, white_px)
+            rp, _, _ = _plane_residual(pc, cp, white_c)
+            return jnp.sum(rr**2) + rp**2
+
+        better = cost(p + dp) < cost(p)
+        p = jnp.where(better, p + dp, p)
+        lam = jnp.where(better, jnp.maximum(lam / 10.0, 1e-10), jnp.minimum(lam * 10.0, 1e6))
+        return (p, lam), None
+
+    (p, _), _ = jax.lax.scan(body, (p0, jnp.asarray(opts.lam_init, dtype)), None, length=opts.iters)
+    return p

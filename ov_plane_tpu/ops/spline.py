@@ -122,9 +122,10 @@ def pose(spline: SplineSE3, t):
     b2 = (1.0 + 3.0 * u + 3.0 * u**2 - 2.0 * u**3) / 6.0
     b3 = (u**3) / 6.0
 
-    R0 = jax.lax.dynamic_slice(spline.ctrl_R, (i - 1, 0, 0), (1, 3, 3))[0]
-    p0 = jax.lax.dynamic_slice(spline.ctrl_p, (i - 1, 0), (1, 3))[0]
-    om = jax.lax.dynamic_slice(spline.omegas, (i - 1, 0), (3, 6))
+    z = jnp.zeros((), i.dtype)
+    R0 = jax.lax.dynamic_slice(spline.ctrl_R, (i - 1, z, z), (1, 3, 3))[0]
+    p0 = jax.lax.dynamic_slice(spline.ctrl_p, (i - 1, z), (1, 3))[0]
+    om = jax.lax.dynamic_slice(spline.omegas, (i - 1, z), (3, 6))
 
     RA, pA = _se3_exp(b1 * om[0])
     RB, pB = _se3_exp(b2 * om[1])

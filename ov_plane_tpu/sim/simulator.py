@@ -136,11 +136,45 @@ def _ray_plane_hits(planes: SimPlanes, origin: np.ndarray, bearing: np.ndarray):
     return float(t[idx]), (idx if np.isfinite(t[idx]) else -1)
 
 
+def _np_distort(uvn: np.ndarray, zeta: np.ndarray, model: int) -> np.ndarray:
+    """NumPy twin of cams.distort_norm for the host-side map builder
+    (avoids per-shape XLA recompiles in the rejection-sampling loop)."""
+    x, y = uvn[..., 0], uvn[..., 1]
+    fx, fy, cx, cy = zeta[0], zeta[1], zeta[2], zeta[3]
+    if model == cams.RADTAN:
+        k1, k2, p1, p2 = zeta[4], zeta[5], zeta[6], zeta[7]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    else:
+        k1, k2, k3, k4 = zeta[4], zeta[5], zeta[6], zeta[7]
+        r = np.sqrt(np.maximum(x * x + y * y, 1e-16))
+        theta = np.arctan(r)
+        theta_d = theta * (1 + k1 * theta**2 + k2 * theta**4 + k3 * theta**6 + k4 * theta**8)
+        scale = theta_d / r
+        xd, yd = x * scale, y * scale
+    return np.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+
+
+def _np_undistort(uv: np.ndarray, zeta: np.ndarray, model: int, iters: int = 25) -> np.ndarray:
+    """Fixed-point undistortion (NumPy, vectorized)."""
+    fx, fy, cx, cy = zeta[0], zeta[1], zeta[2], zeta[3]
+    target = np.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
+    x = target.copy()
+    for _ in range(iters):
+        d = _np_distort(x, zeta, model)
+        dn = np.stack([(d[..., 0] - cx) / fx, (d[..., 1] - cy) / fy], axis=-1)
+        x = x + (target - dn)
+    return x
+
+
 def build_feature_map(cfg: VioConfig, spl, planes: SimPlanes, t_start: float, t_end: float, seed: int):
     """Host-side map construction (Simulator ctor loop :180-237 + generate_points).
 
     Walks frames at 4 Hz; tops up free-space and on-plane features whenever a
-    frame sees too few, using occupancy-mask rejection sampling. Returns
+    frame sees too few, using occupancy-mask rejection sampling. Pure NumPy
+    (one-time setup work; the measurement streams stay in JAX). Returns
     (feat_p [N,3], feat_plane [N]).
     """
     rng = np.random.default_rng(seed)
@@ -160,9 +194,6 @@ def build_feature_map(cfg: VioConfig, spl, planes: SimPlanes, t_start: float, t_
     R_all, p_all = pose_f(jnp.asarray(times))
     R_all, p_all = np.asarray(R_all), np.asarray(p_all)
 
-    undist = jax.jit(jax.vmap(lambda uv: cams.undistort(uv, jnp.asarray(zeta), model)), static_argnums=())
-    distort_one = jax.jit(lambda p: cams.distort_norm(p, jnp.asarray(zeta), model))
-
     feat_p: list[np.ndarray] = []
     feat_plane: list[int] = []
 
@@ -175,7 +206,7 @@ def build_feature_map(cfg: VioConfig, spl, planes: SimPlanes, t_start: float, t_
         z = p_FinC[:, 2]
         with np.errstate(divide="ignore", invalid="ignore"):
             uvn = p_FinC[:, :2] / z[:, None]
-        uv = np.asarray(jax.vmap(distort_one)(jnp.asarray(np.nan_to_num(uvn))))
+        uv = _np_distort(np.nan_to_num(uvn), zeta, model)
         valid = (z > 0.1) & (z <= max_gen) & (uv[:, 0] >= 0) & (uv[:, 0] <= w_img) & (uv[:, 1] >= 0) & (uv[:, 1] <= h_img)
         return uv[:, 0], uv[:, 1], valid
 
@@ -204,7 +235,7 @@ def build_feature_map(cfg: VioConfig, spl, planes: SimPlanes, t_start: float, t_
                 cu, cv = int(ud // sub), int(vd // sub)
                 if mask[cu, cv]:
                     continue
-                uvn = np.asarray(cams.undistort(jnp.asarray([ud, vd]), jnp.asarray(zeta), model))
+                uvn = _np_undistort(np.array([ud, vd]), zeta, model)
                 bearing_G = R_GtoI.T @ R_ItoC.T @ np.array([uvn[0], uvn[1], 1.0])
                 if on_plane:
                     depth, pid = _ray_plane_hits(planes, cam_origin, bearing_G)

@@ -79,7 +79,11 @@ def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 
 
 
 def get_trajectory(cfg_sim):
-    """Resolve the configured trajectory source."""
-    if cfg_sim.traj_path:
+    """Resolve the configured trajectory source; fall back to the procedural
+    room scan when the configured path is absent (reference configs point at
+    repo-relative paths that may not exist here)."""
+    import os
+
+    if cfg_sim.traj_path and os.path.exists(cfg_sim.traj_path):
         return load_trajectory_txt(cfg_sim.traj_path)
     return room_scan_trajectory(duration=cfg_sim.traj_duration)

@@ -33,6 +33,8 @@ class VioState:
 
     # Time of the current state estimate (IMU clock).
     t: jnp.ndarray = None  # scalar f64
+    # Time the filter was initialized (gates dt_slam_delay-style logic).
+    startup_t: jnp.ndarray = None
 
     # Active IMU state x16: [q(4), p(3), v(3), bg(3), ba(3)] (reference IMU Type order).
     imu: jnp.ndarray = None
@@ -75,6 +77,7 @@ class VioState:
         return cls(
             layout=layout,
             t=jnp.asarray(0.0, dtype),
+            startup_t=jnp.asarray(0.0, dtype),
             imu=imu,
             imu_fej=imu,
             calib_dt=jnp.zeros((), dtype),
