@@ -32,6 +32,10 @@ if _plat and "cpu" not in _plat:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Persistent cache: the big scan graph costs ~5 min to (remote-)compile; the
+# cache makes repeat bench runs start in seconds. (cpu_aot_loader may warn
+# about host-feature mismatch for CPU entries produced by the remote compile
+# terminal; numerically validated runs have been fine.)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_bench")
 
 import jax.numpy as jnp
@@ -49,7 +53,7 @@ def _accel_device():
     return jax.devices()[0]
 
 REFERENCE_CPU_FPS = 100.0
-BATCH = 8  # Monte-Carlo instances vmapped on the chip
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # MC instances vmapped on the chip
 
 
 def main():
@@ -69,6 +73,7 @@ def main():
     cfg.num_pts_plane = 0
     cfg.tpu.max_features = 192
     cfg.tpu.max_obs_per_frame = 96
+    cfg.tpu.max_msckf_update = 40
 
     t0 = time.time()
     cpu = jax.devices("cpu")[0]

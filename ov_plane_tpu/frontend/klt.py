@@ -1,0 +1,158 @@
+"""Pyramidal Lucas-Kanade feature tracking in JAX.
+
+Replaces the reference's OpenCV ``calcOpticalFlowPyrLK`` usage
+(TrackPlane::perform_matching, TrackPlane.cpp:1299-1357): 21×21 window,
+pyramid levels, iterative LK with bidirectional (forward-backward) validation.
+All per-feature work is vmapped; image-level work (pyramids, gradients) is
+convolution — both map well onto the TPU.
+
+Images are float32 [H, W] in [0, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KltOptions(NamedTuple):
+    levels: int = 4
+    window: int = 10          # half-window (patch = (2w+1)²)
+    iters: int = 10
+    min_eig: float = 1e-4     # G conditioning gate
+    fb_thresh: float = 2.0    # forward-backward px gate (at level 0)
+    max_err: float = 0.08     # mean abs photometric residual gate
+
+
+def _gauss_kernel(dtype):
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype)
+    k = k / jnp.sum(k)
+    return k
+
+
+def pyr_down(img):
+    """5-tap Gaussian blur + 2x decimation (cv::pyrDown equivalent)."""
+    k = _gauss_kernel(img.dtype)
+    pad = 2
+    x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
+    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)        # rows
+    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(x)
+    return x[::2, ::2]
+
+
+def build_pyramid(img, levels: int):
+    """Returns a list of [H/2^l, W/2^l] images."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def _scharr_gradients(img):
+    """3×3 Scharr x/y gradients (normalized)."""
+    kx = jnp.asarray([[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]], img.dtype) / 32.0
+    ky = kx.T
+    x = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    gx = jax.lax.conv_general_dilated(
+        x[None, None], kx[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    gy = jax.lax.conv_general_dilated(
+        x[None, None], ky[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return gx, gy
+
+
+def _bilinear_patch(img, center_xy, offsets):
+    """Sample a patch at fractional center (x, y) + integer offsets [P, 2]."""
+    x = center_xy[0] + offsets[:, 0]
+    y = center_xy[1] + offsets[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    H, W = img.shape
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    i00 = img[yi, xi]
+    i01 = img[yi, xi + 1]
+    i10 = img[yi + 1, xi]
+    i11 = img[yi + 1, xi + 1]
+    return (
+        i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy)
+        + i10 * (1 - fx) * fy + i11 * fx * fy
+    )
+
+
+def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
+    """Track one feature at one pyramid level. Returns (flow, ok, err)."""
+    w = opts.window
+    r = jnp.arange(-w, w + 1, dtype=img0.dtype)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offsets = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # [P, 2]
+
+    t_patch = _bilinear_patch(img0, pt0, offsets)
+    gx_p = _bilinear_patch(gx0, pt0, offsets)
+    gy_p = _bilinear_patch(gy0, pt0, offsets)
+    gxx = jnp.sum(gx_p * gx_p)
+    gxy = jnp.sum(gx_p * gy_p)
+    gyy = jnp.sum(gy_p * gy_p)
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2))
+    n_px = offsets.shape[0]
+    ok = min_eig / n_px > opts.min_eig
+    det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+    def body(flow, _):
+        cur = _bilinear_patch(img1, pt0 + flow, offsets)
+        di = cur - t_patch
+        bx = jnp.sum(di * gx_p)
+        by = jnp.sum(di * gy_p)
+        dx = (gyy * bx - gxy * by) / det_s
+        dy = (-gxy * bx + gxx * by) / det_s
+        return flow - jnp.stack([dx, dy]), None
+
+    flow, _ = jax.lax.scan(body, guess, None, length=opts.iters)
+    final = _bilinear_patch(img1, pt0 + flow, offsets)
+    err = jnp.mean(jnp.abs(final - t_patch))
+    return flow, ok, err
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def track(pyr0, pyr1, pts0, mask, opts: KltOptions):
+    """Track points pts0 [N, 2] (x, y pixels) from pyramid 0 to pyramid 1.
+
+    pyr0/pyr1: tuples of per-level images (level 0 = full res).
+    Returns (pts1 [N, 2], ok [N]) with forward-backward validation.
+
+    Per-level image gradients are computed once (convolutions) and shared by
+    the vmapped per-feature LK iterations.
+    """
+    levels = len(pyr0)
+    grads0 = [_scharr_gradients(img) for img in pyr0]
+    grads1 = [_scharr_gradients(img) for img in pyr1]
+
+    def run(pyra, gradsa, pyrb, pts_from, m):
+        def one(pt0):
+            flow = jnp.zeros(2, pt0.dtype)
+            okl = jnp.asarray(True)
+            err = jnp.asarray(0.0, pt0.dtype)
+            for lvl in range(levels - 1, -1, -1):
+                scale = 2.0**lvl
+                gx0, gy0 = gradsa[lvl]
+                f_l, ok_l, err = _track_level(pyra[lvl], gx0, gy0, pyrb[lvl], pt0 / scale, flow / scale, opts)
+                flow = f_l * scale
+                okl = okl & ok_l
+            return pt0 + flow, okl, err
+
+        return jax.vmap(one)(pts_from)
+
+    p1, ok_f, err_f = run(pyr0, grads0, pyr1, pts0, mask)
+    p_back, ok_b, _ = run(pyr1, grads1, pyr0, p1, mask)
+    fb = jnp.linalg.norm(p_back - pts0, axis=1)
+    H, W = pyr0[0].shape
+    in_bounds = (p1[:, 0] >= 1) & (p1[:, 0] < W - 1) & (p1[:, 1] >= 1) & (p1[:, 1] < H - 1)
+    ok = mask & ok_f & ok_b & (fb < opts.fb_thresh) & (err_f < opts.max_err) & in_bounds
+    return p1, ok

@@ -80,6 +80,7 @@ class VioEngine:
     msckf_opts: MsckfOptions
     slam_opts: "SlamOptions"
     plane_opts: "PlaneInitOptions"
+    plane_msckf_opts: "PlaneMsckfOptions"
     cam_model: int
     max_clone_size: int
     max_msckf_in_update: int
@@ -98,6 +99,7 @@ class VioEngine:
     @classmethod
     def from_config(cls, cfg: VioConfig) -> "VioEngine":
         from ov_plane_tpu.models.plane_init import PlaneInitOptions
+        from ov_plane_tpu.models.plane_msckf import PlaneMsckfOptions
         from ov_plane_tpu.models.slam import SlamOptions
         from ov_plane_tpu.ops.planefit import PlaneRefineOptions
 
@@ -147,8 +149,15 @@ class VioEngine:
             max_msckf_plane=cfg.state.max_msckf_plane,
             use_refine_plane_feat=cfg.state.use_refine_plane_feat,
         )
+        pmo = PlaneMsckfOptions(
+            base=po,
+            chi2_multipler=cfg.msckf_options.chi2_multipler,
+            plane_msckf_min_feat=cfg.state.plane_msckf_min_feat,
+            plane_msckf_max_cond=cfg.state.plane_msckf_max_cond,
+        )
         return cls(
             layout=lay,
+            plane_msckf_opts=pmo,
             prop_opts=PropagatorOptions(
                 use_rk4=cfg.state.use_rk4_integration,
                 imu_avg=cfg.state.imu_avg,
@@ -287,10 +296,21 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         state = jax.tree.map(lambda a, b: jnp.where(do_pinit, a, b), init_state2, state)
         bank = jax.tree.map(lambda a, b: jnp.where(do_pinit, a, b), init_bank2, bank)
 
-    # 6. MSCKF update (plane rows for features whose plane is a state).
+    # 6a. Grouped MSCKF-plane updates for out-of-state planes
+    #     (UpdaterMSCKF plane path; consumes their features).
+    sel_valid_main = sel_valid
+    if eng.use_planes and eng.msckf_opts.use_plane_constraint:
+        from ov_plane_tpu.models.plane_msckf import msckf_plane_update
+
+        pl_state, consumed_sel, _ = msckf_plane_update(state, bank, eng.plane_msckf_opts, sel_idx, sel_valid)
+        do_pm = can_update & past_delay
+        state = jax.tree.map(lambda a, b: jnp.where(do_pm, a, b), pl_state, state)
+        sel_valid_main = sel_valid & ~(consumed_sel & do_pm)
+
+    # 6b. MSCKF update (plane rows for features whose plane is a state).
     sel_uv = bank.uv[sel_idx]
     sel_uvn = bank.uvn[sel_idx]
-    sel_mask = bank.mask[sel_idx] & sel_valid[:, None]
+    sel_mask = bank.mask[sel_idx] & sel_valid_main[:, None]
     sel_pid = bank.planeid[sel_idx]
     peq = (sel_pid[:, None] == state.plane_id[None, :]) & state.plane_active[None, :] & (sel_pid >= 0)[:, None]
     p_in_state = jnp.any(peq, axis=1)

@@ -1,0 +1,149 @@
+"""Per-plane grouped MSCKF updates for planes NOT in the state.
+
+Re-design of the plane half of ``UpdaterMSCKF::update``
+(update/UpdaterMSCKF.cpp:197-649): features sharing an out-of-state plane are
+updated together — the plane CP is recovered on the fly (LSQ fit + joint GN,
+:223-293), each feature's point columns are nullspace-projected (keeping CP),
+the stacked system then has its CP columns nullspace-projected away
+(marginalized, :591-604), is chi2-gated per plane (:606-631) and applied as
+an EKF update per plane (:647-648, sequential under a bounded scan).
+
+Features consumed here are excluded from the classic point update (the caller
+gets a used-mask back).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ov_plane_tpu.models import feature_bank as fb
+from ov_plane_tpu.models.jacobians import clone_set_from_state, feature_jacobian_full
+from ov_plane_tpu.models.plane_init import PlaneInitOptions
+from ov_plane_tpu.ops import ekf
+from ov_plane_tpu.ops.planefit import fit_plane_lsq, refine_plane_joint
+from ov_plane_tpu.ops.triangulation import triangulate
+from ov_plane_tpu.state.vio_state import VioState
+from ov_plane_tpu.utils.chi2 import CHI2_095_TABLE
+
+
+class PlaneMsckfOptions(NamedTuple):
+    base: PlaneInitOptions = PlaneInitOptions()
+    chi2_multipler: float = 5.0
+    plane_msckf_min_feat: int = 5
+    plane_msckf_max_cond: float = 50.0
+    max_planes_per_frame: int = 2
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOptions,
+                       sel_idx, sel_valid):
+    """Grouped plane updates over the MSCKF selection.
+
+    sel_idx/sel_valid: the frame's MSCKF feature selection [M].
+    Returns (new_state, consumed_sel_mask[M], n_plane_updates).
+    """
+    lay = state.layout
+    K = lay.max_clones
+    D = lay.dim
+    dtype = state.imu.dtype
+    M = sel_idx.shape[0]
+    Mp = opts.base.max_msckf_plane
+    table = jnp.asarray(CHI2_095_TABLE, dtype)
+    clone_active = jnp.isfinite(state.clones_t)
+
+    pid = jnp.where(sel_valid, bank.planeid[sel_idx], -1)
+    in_state = jnp.any(
+        (pid[:, None] == state.plane_id[None, :]) & state.plane_active[None, :], axis=1
+    )
+    pid = jnp.where(in_state, -1, pid)  # only out-of-state planes here
+
+    # Distinct candidate planes among the selection, ranked by support.
+    eq = (pid[:, None] == pid[None, :]) & (pid >= 0)[:, None]
+    count = jnp.sum(eq, axis=1)
+    lower = jnp.tril(jnp.ones((M, M), bool), k=-1)
+    is_first = ~jnp.any(eq & lower, axis=1) & (pid >= 0)
+    score = jnp.where(is_first & (count >= opts.plane_msckf_min_feat), count, -1)
+    cand_scores, cand_pos = jax.lax.top_k(score, opts.max_planes_per_frame)
+    cand_pids = jnp.where(cand_scores > 0, pid[cand_pos], -1)
+
+    consumed = jnp.zeros((M,), bool)
+
+    def body(carry, c):
+        st, consumed_c = carry
+        plane = cand_pids[c]
+        valid = plane >= 0
+
+        members = (pid == plane) & sel_valid & valid          # [M]
+        fscore = jnp.where(members, bank.n_obs[sel_idx], -1)
+        fs, fpos = jax.lax.top_k(fscore, Mp)                  # positions within selection
+        fvalid = fs >= 2
+        rows = sel_idx[fpos]
+
+        uv = bank.uv[rows]
+        uvn = bank.uvn[rows]
+        masks = bank.mask[rows] & fvalid[:, None] & clone_active[None, :]
+
+        clones = clone_set_from_state(st)
+        p_f, tri_ok = triangulate(uvn, masks, clones.R_GtoC, clones.p_CinG, opts.base.tri)
+        fvalid = fvalid & tri_ok
+        masks = masks & fvalid[:, None]
+
+        cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
+        valid = valid & fit_ok & (cond <= opts.plane_msckf_max_cond) & (jnp.sum(fvalid) >= opts.plane_msckf_min_feat)
+        cp, p_f2, ref_ok = refine_plane_joint(
+            cp0, p_f, uvn, masks, fvalid, jnp.zeros_like(fvalid),
+            clones.R_GtoC, clones.p_CinG, opts.base.refine,
+        )
+        cp = jnp.where(ref_ok, cp, cp0)
+        p_f = jnp.where(ref_ok, p_f2, p_f)
+
+        def jac_one(uv_f, m_f, pf):
+            return feature_jacobian_full(
+                lay, opts.base.jac, clones, uv_f, m_f, pf, pf, cp, cp,
+                jnp.asarray(True), jnp.asarray(False), jnp.zeros((), jnp.int32),
+                opts.base.sigma_px, opts.base.sigma_c,
+            )
+
+        H_x, H_f, res, rmask = jax.vmap(jac_one)(uv, masks, p_f)
+        okf = fvalid.astype(dtype)
+        H_x = H_x * okf[:, None, None] * valid
+        H_f = H_f * okf[:, None, None] * valid
+        res = res * okf[:, None] * valid
+
+        # Per-feature nullspace of the point columns, carrying [H_cp | H_x | res].
+        def proj_one(hx, hf, r):
+            stacked = jnp.concatenate([hf[:, 3:6], hx, r[:, None]], axis=1)
+            out, _ = ekf.nullspace_project(hf[:, 0:3], stacked, r)
+            return out
+
+        proj = jax.vmap(proj_one)(H_x, H_f, res)              # [Mp, 3K-3, 3+D+1]
+        big = proj.reshape(Mp * (3 * K - 3), 3 + D + 1)
+        # Compress, then marginalize the CP columns entirely.
+        bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
+        Hcp_c, rest = bigc[:, 0:3], bigc[:, 3:]
+        rest2, _ = ekf.nullspace_project(Hcp_c, rest, jnp.zeros((rest.shape[0],), dtype))
+        H_up = rest2[:, :D]
+        res_up = rest2[:, D]
+
+        n_rows = jnp.sum(rmask & fvalid[:, None])
+        chi2 = ekf.innovation_chi2(st.cov, H_up, res_up, jnp.ones_like(res_up))
+        dof = jnp.maximum(n_rows - 3, 1)
+        passed = chi2 <= opts.chi2_multipler * table[jnp.clip(dof, 1, table.shape[0] - 1)]
+        do_update = valid & passed
+
+        st_new, _ = ekf.ekf_update(st, H_up, res_up, jnp.ones_like(res_up))
+        st_out = jax.tree.map(lambda a, b: jnp.where(do_update, a, b), st_new, st)
+
+        # Consume these features (pass or fail — they were exercised).
+        used_here = jnp.zeros((M + 1,), bool).at[jnp.where(fvalid, fpos, M)].set(True)[:M]
+        consumed_out = consumed_c | jnp.where(valid, used_here, False)
+        return (st_out, consumed_out), do_update
+
+    (state, consumed), updated = jax.lax.scan(
+        body, (state, consumed), jnp.arange(opts.max_planes_per_frame)
+    )
+    return state, consumed, jnp.sum(updated)

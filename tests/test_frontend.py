@@ -1,0 +1,133 @@
+"""Vision frontend tests on synthetic imagery: KLT tracks a known warp, FAST
+finds checkerboard corners, the plane tracker clusters two synthetic planes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ov_plane_tpu.frontend import fast as ffast
+from ov_plane_tpu.frontend import klt as fklt
+from ov_plane_tpu.frontend.plane_track import PlaneTracker
+from ov_plane_tpu.utils.config import TrackPlaneOptions
+
+RNG = np.random.default_rng(21)
+
+
+def _texture(h, w, seed=0):
+    """Smooth random texture with plenty of gradient."""
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 1, size=(h // 4, w // 4))
+    img = np.kron(img, np.ones((4, 4)))
+    # Light smoothing for subpixel interpolation friendliness.
+    k = np.array([0.25, 0.5, 0.25])
+    for _ in range(2):
+        img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 0, img)
+        img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+    return img.astype(np.float32)
+
+
+def _shift_image(img, dx, dy):
+    """Bilinear shift: output(x) = input(x - d)."""
+    h, w = img.shape
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    xs = np.clip(xx - dx, 0, w - 1.001)
+    ys = np.clip(yy - dy, 0, h - 1.001)
+    x0 = xs.astype(int)
+    y0 = ys.astype(int)
+    fx = xs - x0
+    fy = ys - y0
+    return (
+        img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, np.minimum(x0 + 1, w - 1)] * fx * (1 - fy)
+        + img[np.minimum(y0 + 1, h - 1), x0] * (1 - fx) * fy
+        + img[np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)] * fx * fy
+    ).astype(np.float32)
+
+
+def test_klt_tracks_known_shift():
+    img0 = _texture(120, 160)
+    dx, dy = 6.3, -3.7
+    img1 = _shift_image(img0, dx, dy)
+    opts = fklt.KltOptions(levels=3, window=7, iters=12)
+    pyr0 = tuple(fklt.build_pyramid(jnp.asarray(img0), opts.levels))
+    pyr1 = tuple(fklt.build_pyramid(jnp.asarray(img1), opts.levels))
+    pts = jnp.asarray(RNG.uniform([25, 25], [135, 95], size=(30, 2)))
+    p1, ok = fklt.track(pyr0, pyr1, pts, jnp.ones(30, bool), opts)
+    ok = np.asarray(ok)
+    assert ok.sum() >= 20, f"only {ok.sum()} tracked"
+    flow = np.asarray(p1)[ok] - np.asarray(pts)[ok]
+    np.testing.assert_allclose(flow.mean(axis=0), [dx, dy], atol=0.15)
+    assert np.max(np.abs(flow - [dx, dy])) < 0.8
+
+
+def test_klt_rejects_featureless():
+    img0 = np.zeros((96, 96), np.float32)
+    opts = fklt.KltOptions(levels=2, window=7)
+    pyr0 = tuple(fklt.build_pyramid(jnp.asarray(img0), opts.levels))
+    pts = jnp.asarray([[48.0, 48.0]])
+    _, ok = fklt.track(pyr0, pyr0, pts, jnp.ones(1, bool), opts)
+    assert not bool(ok[0])
+
+
+def test_fast_finds_square_corners():
+    # Isolated bright squares: FAST-9 fires near their corners (a checkerboard
+    # saddle point has no ≥9-contiguous arc — classic FAST rejects those).
+    h, w = 120, 160
+    img = np.zeros((h, w), np.float32)
+    sq = 12
+    centers = []
+    for ci in range(2):
+        for cj in range(3):
+            y0, x0 = 20 + ci * 50, 20 + cj * 50
+            img[y0:y0 + sq, x0:x0 + sq] = 1.0
+            centers += [(x0, y0), (x0 + sq - 1, y0), (x0, y0 + sq - 1), (x0 + sq - 1, y0 + sq - 1)]
+    opts = ffast.FastOptions(threshold=0.2, grid_x=8, grid_y=6, max_features=40)
+    uv, valid = ffast.detect_grid(
+        jnp.asarray(img), jnp.zeros((1, 2)), jnp.zeros(1, bool), opts, h, w
+    )
+    uv = np.asarray(uv)[np.asarray(valid)]
+    assert len(uv) >= 6, f"only {len(uv)} detections"
+    corners = np.asarray(centers, float)
+    for u, v in uv:
+        d = np.min(np.linalg.norm(corners - [u, v], axis=1))
+        assert d < 5.0, (u, v, d)
+
+
+def test_fast_respects_occupancy():
+    h, w = 120, 160
+    img = np.zeros((h, w), np.float32)
+    img[40:80, 60:100] = 1.0  # one bright square → corners at its 4 corners
+    opts = ffast.FastOptions(threshold=0.2, grid_x=8, grid_y=6, max_features=10)
+    occupied = jnp.asarray([[60.0, 40.0]])  # cover the top-left corner's cell
+    uv, valid = ffast.detect_grid(jnp.asarray(img), occupied, jnp.ones(1, bool), opts, h, w)
+    uv = np.asarray(uv)[np.asarray(valid)]
+    assert len(uv) >= 1
+    cw, ch = w / 8, h / 6
+    occ_cell = (60 // cw, 40 // ch)
+    for u, v in uv:
+        assert (u // cw, v // ch) != occ_cell
+
+
+def test_plane_tracker_clusters_two_planes():
+    # Scene: floor z=0 and wall y=3; camera at origin looking +y, z up-ish.
+    rng = np.random.default_rng(3)
+    n_each = 25
+    floor = np.stack([rng.uniform(-2, 2, n_each), rng.uniform(1.5, 4, n_each), np.zeros(n_each)], axis=1)
+    wall = np.stack([rng.uniform(-2, 2, n_each), np.full(n_each, 4.5), rng.uniform(0.2, 2, n_each)], axis=1)
+    pts3 = np.vstack([floor, wall])
+    ids = np.arange(len(pts3))
+    # Camera: x right, y down (-z world), z forward (+y world); center at (0,0,1).
+    R_GtoC = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+    p_CinG = np.array([0.0, 0.0, 1.0])
+    pc = (R_GtoC @ (pts3 - p_CinG).T).T
+    uv = 300 * pc[:, :2] / pc[:, 2:3] + np.array([320, 240])
+
+    tracker = PlaneTracker(TrackPlaneOptions(min_norms=2, max_pairwise_px=500, max_tri_side_px=500))
+    for _ in range(4):  # a few frames to build norm history
+        f2p, p2old = tracker.update(ids, uv, pts3, np.ones(len(ids), bool), R_GtoC, p_CinG)
+
+    assert len(f2p) > 20, f"too few plane features: {len(f2p)}"
+    floor_labels = {f2p[i] for i in range(n_each) if i in f2p}
+    wall_labels = {f2p[i + n_each] for i in range(n_each) if (i + n_each) in f2p}
+    assert len(floor_labels) == 1, floor_labels
+    assert len(wall_labels) == 1, wall_labels
+    assert floor_labels != wall_labels

@@ -1,0 +1,113 @@
+"""Plane fitting / refinement tests (reference: PlaneFitting.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ov_plane_tpu.ops.planefit import (
+    PlaneRefineOptions,
+    fit_plane_lsq,
+    refine_plane_joint,
+    refine_point_on_plane,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def make_plane_points(n, cp, noise=0.0, rng=RNG):
+    d = np.linalg.norm(cp)
+    nvec = cp / d
+    # Basis in the plane.
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(nvec @ a) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    u = np.cross(nvec, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(nvec, u)
+    coords = rng.uniform(-2, 2, size=(n, 2))
+    pts = d * nvec + coords[:, :1] * u + coords[:, 1:] * v
+    pts += noise * rng.normal(size=pts.shape)
+    return pts
+
+
+def test_fit_plane_lsq_recovers_cp():
+    cp_true = np.array([0.5, -1.0, 2.0])
+    pts = make_plane_points(40, cp_true)
+    cp, cond, ok = fit_plane_lsq(jnp.asarray(pts), jnp.ones(40, bool))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(cp), cp_true, atol=1e-8)
+
+
+def test_fit_plane_lsq_masked():
+    cp_true = np.array([0.0, 0.0, 1.5])
+    pts = make_plane_points(30, cp_true)
+    garbage = RNG.normal(size=(10, 3)) * 100
+    all_pts = np.vstack([pts, garbage])
+    mask = np.concatenate([np.ones(30, bool), np.zeros(10, bool)])
+    cp, _, ok = fit_plane_lsq(jnp.asarray(all_pts), jnp.asarray(mask))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(cp), cp_true, atol=1e-8)
+
+
+def _camera_ring(n_cams, center, radius=3.0):
+    """Simple camera rig looking at `center` from a ring."""
+    Rs, ps = [], []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams * 0.3
+        c = center + radius * np.array([np.cos(ang), np.sin(ang), 0.4 * np.sin(ang + 1)])
+        z = center - c
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_CtoG = np.stack([x, y, z], axis=1)
+        Rs.append(R_CtoG.T)  # R_GtoC
+        ps.append(c)
+    return np.stack(Rs), np.stack(ps)
+
+
+def test_refine_plane_joint_converges():
+    cp_true = np.array([0.0, 0.0, 2.0])
+    N, K = 12, 6
+    feats_true = make_plane_points(N, cp_true, rng=np.random.default_rng(3))
+    R_GtoC, p_CinG = _camera_ring(K, np.array([0.0, 0.0, 2.0]))
+    # Perfect normalized observations.
+    uvn = np.zeros((N, K, 2))
+    mask = np.zeros((N, K), bool)
+    for i in range(N):
+        for k in range(K):
+            pc = R_GtoC[k] @ (feats_true[i] - p_CinG[k])
+            if pc[2] > 0.2:
+                uvn[i, k] = pc[:2] / pc[2]
+                mask[i, k] = True
+    # Perturb initial guesses.
+    rng = np.random.default_rng(5)
+    feats0 = feats_true + 0.05 * rng.normal(size=feats_true.shape)
+    cp0 = cp_true + np.array([0.05, -0.03, 0.08])
+    opts = PlaneRefineOptions(iters=15, sigma_px=1e-3, sigma_c=0.05)
+    cp, feats, ok = refine_plane_joint(
+        jnp.asarray(cp0), jnp.asarray(feats0), jnp.asarray(uvn), jnp.asarray(mask),
+        jnp.ones(N, bool), jnp.zeros(N, bool), jnp.asarray(R_GtoC), jnp.asarray(p_CinG),
+        opts,
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(cp), cp_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(feats), feats_true, atol=2e-3)
+
+
+def test_refine_point_on_plane_projects():
+    cp = jnp.asarray([0.0, 0.0, 2.0])
+    R_GtoC, p_CinG = _camera_ring(4, np.array([0.3, -0.2, 2.0]))
+    p_true = np.array([0.3, -0.2, 2.0])  # on the plane z=2
+    uvn = np.zeros((4, 2))
+    mask = np.ones(4, bool)
+    for k in range(4):
+        pc = R_GtoC[k] @ (p_true - p_CinG[k])
+        uvn[k] = pc[:2] / pc[2]
+    p0 = p_true + np.array([0.02, 0.01, 0.05])
+    opts = PlaneRefineOptions(iters=15, sigma_px=1e-3, sigma_c=0.01)
+    p = refine_point_on_plane(jnp.asarray(p0), cp, jnp.asarray(uvn), jnp.asarray(mask),
+                              jnp.asarray(R_GtoC), jnp.asarray(p_CinG), opts)
+    np.testing.assert_allclose(np.asarray(p), p_true, atol=1e-4)
+    # Residual to the plane should be tiny.
+    assert abs(float(p[2]) - 2.0) < 1e-3

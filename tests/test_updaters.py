@@ -1,0 +1,104 @@
+"""Tests for ZUPT and the static inertial initializer."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ov_plane_tpu.models.initializer import InitOptions, static_initialize
+from ov_plane_tpu.models.zupt import ZuptOptions, compute_disparity, try_zupt
+from ov_plane_tpu.ops.quat import quat_2_rot
+from ov_plane_tpu.state.layout import StateLayout
+from ov_plane_tpu.state.vio_state import VioState
+
+RNG = np.random.default_rng(11)
+LAY = StateLayout(max_clones=3, max_slam=2, max_planes=1)
+
+
+def _tilted_R(roll=0.15, pitch=-0.1):
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    return (Ry @ Rx).T  # R_GtoI
+
+
+def test_static_initialize_recovers_gravity_and_biases():
+    g = 9.81
+    R_GtoI = _tilted_R()
+    bg_true = np.array([0.002, -0.001, 0.003])
+    ba_true = np.array([0.05, -0.02, 0.01])
+    hz = 200.0
+    n = int(5.0 * hz)
+    t = np.arange(n) / hz
+    w_m = bg_true + 1e-5 * RNG.normal(size=(n, 3))
+    a_m = (R_GtoI @ np.array([0, 0, g])) + ba_true + 1e-4 * RNG.normal(size=(n, 3))
+    # Jerk in the last 2 s window.
+    jerk = t > 3.0
+    a_m[jerk] += 3.0 * np.sin(40 * t[jerk])[:, None] * np.array([1.0, 0.5, 0.2])
+
+    opts = InitOptions(window_time=2.0, imu_thresh=1.0, gravity_mag=g)
+    ok, t0, imu16, cov_diag = static_initialize(
+        jnp.asarray(t), jnp.asarray(w_m), jnp.asarray(a_m), 5.0, opts
+    )
+    assert bool(ok)
+    R_est = np.asarray(quat_2_rot(imu16[0:4]))
+    # Gravity direction must match the third column of R_GtoI up to the
+    # inherent static-init tilt bias |ba|/g ≈ 0.006 (bias and gravity are
+    # inseparable without motion — same limitation as the reference).
+    np.testing.assert_allclose(R_est[:, 2], R_GtoI[:, 2], atol=1.5 * np.linalg.norm([0.05, -0.02, 0.01]) / 9.81)
+    np.testing.assert_allclose(np.asarray(imu16[10:13]), bg_true, atol=1e-4)
+    # ba is recovered up to the same gravity direction.
+    np.testing.assert_allclose(
+        np.asarray(imu16[13:16]), a_m[: int(3 * 200)].mean(0) - R_est @ np.array([0, 0, g]), atol=2e-2
+    )
+
+
+def test_static_initialize_rejects_motion():
+    hz, n = 200.0, 1000
+    t = np.arange(n) / hz
+    a_m = 9.81 * np.tile([0, 0, 1.0], (n, 1)) + 3.0 * np.sin(10 * t)[:, None]  # always moving
+    w_m = np.zeros((n, 3))
+    ok, *_ = static_initialize(jnp.asarray(t), jnp.asarray(w_m), jnp.asarray(a_m), 5.0,
+                               InitOptions())
+    assert not bool(ok)
+
+
+def _stationary_state():
+    st = VioState.create(LAY)
+    st = st.replace(cov=jnp.eye(LAY.dim) * 1e-4, t=jnp.asarray(0.0))
+    return st
+
+
+def test_zupt_accept_stationary_reject_moving():
+    st = _stationary_state()
+    hz = 100.0
+    n = 21
+    t = jnp.asarray(np.arange(n) / hz)
+    w_m = jnp.asarray(1e-5 * RNG.normal(size=(n, 3)))
+    a_m = jnp.asarray(np.tile([0, 0, 9.81], (n, 1)) + 1e-4 * RNG.normal(size=(n, 3)))
+    opts = ZuptOptions(chi2_multipler=1.0, noise_multiplier=10.0, gravity_mag=9.81)
+    new_st, acc = try_zupt(st, opts, t, w_m, a_m, 0.2, jnp.asarray(10.0), jnp.asarray(0))
+    assert bool(acc)
+    assert float(new_st.t) == 0.2
+    # Covariance of biases should not explode; diag positive.
+    assert float(jnp.min(jnp.diag(new_st.cov)[:15])) > 0
+
+    # Strong rotation → rejected.
+    w_fast = jnp.asarray(np.tile([0.5, 0, 0], (n, 1)))
+    _, acc2 = try_zupt(st, opts, t, w_fast, a_m, 0.2, jnp.asarray(10.0), jnp.asarray(0))
+    assert not bool(acc2)
+
+    # Low disparity overrides: accepted even with motion.
+    _, acc3 = try_zupt(st, opts, t, w_fast, a_m, 0.2, jnp.asarray(0.1), jnp.asarray(50))
+    assert bool(acc3)
+
+
+def test_compute_disparity():
+    uv = np.zeros((5, 4, 2))
+    mask = np.zeros((5, 4), bool)
+    uv[:, 0] = [[0, 0]] * 5
+    uv[:, 1] = [[3, 4]] * 5
+    mask[:3, 0] = True
+    mask[:3, 1] = True
+    avg, n = compute_disparity(jnp.asarray(uv), jnp.asarray(mask), 0, 1)
+    assert int(n) == 3
+    np.testing.assert_allclose(float(avg), 5.0)
