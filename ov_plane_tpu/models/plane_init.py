@@ -182,6 +182,79 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
 
 
 @jax.jit
+def merge_planes(state: VioState, merge_from, merge_into, sigma_merge, merge_chi2_mult, merge_deg_max):
+    """Merge frontend-combined plane ids (StateHelper::merge_planes_and_marginalize,
+    StateHelper.cpp:654-736).
+
+    merge_from/merge_into: [Q] int32 frontend plane-id pairs (-1 padding);
+    each pair says "old id `from` is now id `into`". Cases per reference:
+
+    * only `from` in state → relabel the slot id;
+    * both in state → pseudo-measurement cp_new − cp_old = 0 with noise
+      σ_merge, chi2 + normal-angle gated EKF update, then marginalize `from`.
+
+    Processed under a bounded scan (each merge conditions the next).
+    """
+    from ov_plane_tpu.utils.chi2 import CHI2_095_TABLE
+
+    lay = state.layout
+    D = lay.dim
+    dtype = state.imu.dtype
+    table = jnp.asarray(CHI2_095_TABLE, dtype)
+    white = 1.0 / sigma_merge
+
+    def body(st, q):
+        pid_from = merge_from[q]
+        pid_into = merge_into[q]
+        valid = (pid_from >= 0) & (pid_into >= 0) & (pid_from != pid_into)
+
+        eq_f = (st.plane_id == pid_from) & st.plane_active
+        eq_i = (st.plane_id == pid_into) & st.plane_active
+        has_f = jnp.any(eq_f)
+        has_i = jnp.any(eq_i)
+        slot_f = jnp.argmax(eq_f).astype(jnp.int32)
+        slot_i = jnp.argmax(eq_i).astype(jnp.int32)
+
+        # Case 1: rename only.
+        rename = valid & has_f & ~has_i
+        plane_id_renamed = jnp.where(rename, st.plane_id.at[slot_f].set(pid_into), st.plane_id)
+
+        # Case 2: both in state → gated merge update, marginalize `from`.
+        both = valid & has_f & has_i
+        cp_new = st.plane_cp[slot_i]
+        cp_old = st.plane_cp[slot_f]
+        n_new = cp_new / jnp.maximum(jnp.linalg.norm(cp_new), 1e-9)
+        n_old = cp_old / jnp.maximum(jnp.linalg.norm(cp_old), 1e-9)
+        angle = jnp.degrees(jnp.arccos(jnp.clip(n_new @ n_old, -1.0, 1.0)))
+
+        res = white * (0.0 - (cp_new - cp_old))
+        col_i = (lay.plane_base + 3 * slot_i).astype(jnp.int32)
+        col_f = (lay.plane_base + 3 * slot_f).astype(jnp.int32)
+        z0 = jnp.zeros((), jnp.int32)
+        H = jnp.zeros((3, D), dtype)
+        eye_w = white * jnp.eye(3, dtype=dtype)
+        H = jax.lax.dynamic_update_slice(H, eye_w, (z0, col_i))
+        H = jax.lax.dynamic_update_slice(H, -eye_w, (z0, col_f))
+        chi2 = ekf.innovation_chi2(st.cov, H, res, jnp.ones((3,), dtype))
+        pass_gate = (chi2 < merge_chi2_mult * table[3]) & (angle < merge_deg_max)
+
+        st_upd, _ = ekf.ekf_update(st, H, res, jnp.ones((3,), dtype))
+        do_update = both & pass_gate
+        st1 = jax.tree.map(lambda a, b: jnp.where(do_update, a, b), st_upd, st)
+        # Always marginalize the old plane when both exist (reference :732-734).
+        cov_m = jnp.where(both, ekf.zero_slot(st1.cov, col_f, 3), st1.cov)
+        st1 = st1.replace(
+            cov=cov_m,
+            plane_active=jnp.where(both, st1.plane_active.at[slot_f].set(False), st1.plane_active),
+            plane_id=jnp.where(both, st1.plane_id.at[slot_f].set(-1), plane_id_renamed),
+        )
+        return st1, do_update
+
+    state, merged = jax.lax.scan(body, state, jnp.arange(merge_from.shape[0]))
+    return state, jnp.sum(merged)
+
+
+@jax.jit
 def marginalize_unseen_planes(state: VioState, bank: fb.FeatureBank, cur_slot):
     """Marginalize plane states with no supporting feature association in the
     current frame (StateHelper.cpp:738-757)."""

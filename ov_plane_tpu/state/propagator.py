@@ -276,6 +276,23 @@ def propagate_and_clone(state: VioState, imu_t, imu_w, imu_a, t_new,
     return state, slot
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def fast_state_propagate(state: VioState, imu_t, imu_w, imu_a, t_target,
+                         noises, gravity, opts: PropagatorOptions):
+    """High-rate odometry output (Propagator::fast_state_propagate,
+    Propagator.cpp:128-224): propagate a COPY of the mean (and the 15×15 IMU
+    covariance block) to `t_target` without mutating the filter state.
+
+    Returns (imu16, cov15) — pose/velocity for publishing between updates.
+    """
+    imu_n, _, phi, qd, _ = propagate_mean_cov(
+        state.imu, state.imu_fej, None, imu_t, imu_w, imu_a, state.t, t_target,
+        noises, gravity, opts,
+    )
+    cov15 = phi @ state.cov[:15, :15] @ phi.T + qd
+    return imu_n, 0.5 * (cov15 + cov15.T)
+
+
 @functools.partial(jax.jit, static_argnames=("max_clone_size",))
 def marginalize_oldest_clone(state: VioState, max_clone_size: int) -> VioState:
     """Drop the oldest clone if over budget (StateHelper::marginalize_old_clone,
