@@ -197,6 +197,18 @@ def init_state_with_gt(eng: VioEngine, cfg: VioConfig, t0, q0, p0, v0, bg0, ba0,
         jnp.full(3, 0.02**2), jnp.full(3, 0.02**2),
     ]).astype(dtype)
     cov = cov.at[:15, :15].set(jnp.diag(d))
+    # Calibration priors (State.cpp:86-99); zero covariance keeps a disabled
+    # calib state frozen (zero Kalman gain) — the static-layout trick.
+    if cfg.state.do_calib_camera_timeoffset:
+        cov = cov.at[lay.dt_idx, lay.dt_idx].set(0.01**2)
+    if cfg.state.do_calib_camera_pose:
+        i = lay.cam_pose_idx
+        cov = cov.at[i:i + 3, i:i + 3].set(0.005**2 * jnp.eye(3, dtype=dtype))
+        cov = cov.at[i + 3:i + 6, i + 3:i + 6].set(0.01**2 * jnp.eye(3, dtype=dtype))
+    if cfg.state.do_calib_camera_intrinsics:
+        i = lay.cam_intr_idx
+        cov = cov.at[i:i + 4, i:i + 4].set(1.0 * jnp.eye(4, dtype=dtype))
+        cov = cov.at[i + 4:i + 8, i + 4:i + 8].set(0.005**2 * jnp.eye(4, dtype=dtype))
     st = st.replace(
         t=jnp.asarray(t0, dtype), startup_t=jnp.asarray(t0, dtype),
         imu=imu, imu_fej=imu, cov=cov,

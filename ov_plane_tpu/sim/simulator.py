@@ -72,6 +72,27 @@ class SimData(NamedTuple):
     plane_cp: jnp.ndarray    # [P, 3]
 
 
+def perturb_calibration(cfg: VioConfig, seed: int):
+    """Perturb the calibration the ESTIMATOR starts from (the simulator keeps
+    truth) — Simulator::perturb_parameters (Simulator.cpp:243-275).
+
+    Returns (calib_dt, cam_intrinsics[8], cam_extrinsics[7]) perturbed copies.
+    """
+    rng = np.random.default_rng(seed)
+    dt = cfg.calib_camimu_dt + 0.01 * rng.standard_normal()
+    zeta = np.asarray(cfg.cam_intrinsics, float).copy()
+    zeta[0:4] += 1.0 * rng.standard_normal(4)
+    zeta[4:8] += 0.005 * rng.standard_normal(4)
+    ext = np.asarray(cfg.cam_extrinsics, float).copy()
+    w = 0.001 * rng.standard_normal(3)
+    from ov_plane_tpu.ops.quat import exp_so3, rot_2_quat
+
+    R_new = np.asarray(exp_so3(jnp.asarray(w))) @ np.asarray(quat_2_rot(jnp.asarray(ext[0:4])))
+    ext[0:4] = np.asarray(rot_2_quat(jnp.asarray(R_new)))
+    ext[4:7] += 0.01 * rng.standard_normal(3)
+    return dt, zeta, ext
+
+
 def generate_planes(traj_pos: np.ndarray, min_gen_dist: float) -> SimPlanes:
     """Cuboid room around the trajectory (Simulator::generate_planes :645-707)."""
     mn = traj_pos.min(axis=0)
