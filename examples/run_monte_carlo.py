@@ -1,0 +1,90 @@
+"""Monte-Carlo consistency sweep: N seeds as ONE vmapped batch.
+
+The TPU-native version of the reference's 20-seed simulation sweeps
+(results/run_simulation.sh:73-99 — twenty sequential roslaunch runs there,
+one batched call here). Reports mean RMSE and average NEES with the
+consistency band check (NEES ≈ dim for an FEJ-consistent filter).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ov_plane_tpu.eval.metrics import rmse_nees
+from ov_plane_tpu.models.feature_bank import FeatureBank
+from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
+from ov_plane_tpu.sim.simulator import NoiseParams, apply_noise, build_sim
+from ov_plane_tpu.utils.config import sim_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=20)
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--use-planes", action="store_true")
+    ap.add_argument("--max-slam", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = args.duration
+    cfg.state.max_slam_features = args.max_slam
+    cfg.state.use_plane_constraint = args.use_planes
+    cfg.state.use_plane_slam_feats = args.use_planes
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 40
+    cfg.num_pts_plane = 40 if args.use_planes else 0
+    cfg.tpu.max_features = 192
+    cfg.tpu.max_obs_per_frame = 96
+    cfg.tpu.max_msckf_update = 40
+
+    print("[mc] building sim truth...", flush=True)
+    sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
+    noise = NoiseParams(
+        sigma_w=cfg.imu_noises.sigma_w, sigma_a=cfg.imu_noises.sigma_a,
+        sigma_wb=cfg.imu_noises.sigma_wb, sigma_ab=cfg.imu_noises.sigma_ab,
+        sigma_pix=cfg.msckf_options.sigma_pix, dt_imu=1.0 / cfg.sim.freq_imu,
+    )
+    eng = VioEngine.from_config(cfg)
+
+    def one_seed(key):
+        sim_k = apply_noise(sim, key, noise)
+        state = init_state_with_gt(
+            eng, cfg, t0=sim_k.cam_t_imu[0], q0=sim_k.gt_q[0], p0=sim_k.gt_p[0],
+            v0=sim_k.gt_v[0], bg0=sim_k.gt_bg_cam[0], ba0=sim_k.gt_ba_cam[0],
+        )
+        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        _, _, outs = run_sequence(eng, state, bank, sim_k, imu_window=cfg.tpu.max_imu_per_frame)
+        m = rmse_nees(outs.q, outs.p, outs.cov_diag_imu[:, 0:3], outs.cov_diag_imu[:, 3:6],
+                      sim.gt_q[1:], sim.gt_p[1:])
+        return m["rmse_ori_deg"], m["rmse_pos"], m["nees_ori"], m["nees_pos"]
+
+    keys = jax.random.split(jax.random.PRNGKey(5), args.seeds)
+    print(f"[mc] running {args.seeds} seeds as one batch...", flush=True)
+    t0 = time.time()
+    r_ori, r_pos, n_ori, n_pos = jax.jit(jax.vmap(one_seed))(keys)
+    jax.block_until_ready(r_pos)
+    wall = time.time() - t0
+    print(f"[mc] {args.seeds} runs in {wall:.1f}s ({args.seeds * (sim.cam_t_imu.shape[0]-1) / wall:.0f} frames/s aggregate)")
+    print(f"  RMSE ori: mean {float(jnp.mean(r_ori)):.3f} deg (std {float(jnp.std(r_ori)):.3f})")
+    print(f"  RMSE pos: mean {float(jnp.mean(r_pos)):.3f} m   (std {float(jnp.std(r_pos)):.3f})")
+    print(f"  NEES ori: mean {float(jnp.mean(n_ori)):.2f}  | NEES pos: mean {float(jnp.mean(n_pos)):.2f}  (dim = 3)")
+    ok = float(jnp.mean(r_pos)) < 0.2 and 0.05 < float(jnp.mean(n_ori)) < 9.0
+    print("CONSISTENT" if ok else "INCONSISTENT")
+
+
+if __name__ == "__main__":
+    main()

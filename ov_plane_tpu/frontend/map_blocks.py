@@ -90,7 +90,8 @@ def insert(m: MapBlocks, pts, plane_ids, mask):
     new_stamp = m.cursor + 1
     stamp = jnp.concatenate([m.stamp, jnp.zeros((1,), jnp.int32)])
     stamp = stamp.at[slot].set(jnp.where(take, new_stamp, 0))[:N]
-    return m.replace(points=points, plane_id=pid, vox=vox, stamp=stamp, cursor=new_stamp), jnp.sum(take)
+    n_inserted = jnp.sum(take & (rank < N))
+    return m.replace(points=points, plane_id=pid, vox=vox, stamp=stamp, cursor=new_stamp), n_inserted
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -25,6 +25,7 @@ reference estimator (VioManager.cpp:211-230).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -49,8 +50,10 @@ class SimData(NamedTuple):
 
     # IMU stream (noisy) and truth.
     imu_t: jnp.ndarray       # [Ti]
-    imu_w: jnp.ndarray       # [Ti, 3]
+    imu_w: jnp.ndarray       # [Ti, 3] noisy measurements
     imu_a: jnp.ndarray       # [Ti, 3]
+    imu_w_true: jnp.ndarray  # [Ti, 3] noiseless (for Monte-Carlo re-noising)
+    imu_a_true: jnp.ndarray  # [Ti, 3]
     gt_bg: jnp.ndarray       # [Ti, 3] true gyro bias at imu_t
     gt_ba: jnp.ndarray       # [Ti, 3]
     # Camera stream.
@@ -58,6 +61,7 @@ class SimData(NamedTuple):
     cam_t_imu: jnp.ndarray   # [Tc] imu-clock time of exposure
     obs_id: jnp.ndarray      # [Tc, O] int32, -1 = pad
     obs_uv: jnp.ndarray      # [Tc, O, 2] distorted pixels (noisy)
+    obs_uv_true: jnp.ndarray # [Tc, O, 2] noiseless pixels
     obs_plane: jnp.ndarray   # [Tc, O] int32, -1 = free point
     imu_window_start: jnp.ndarray  # [Tc] int32: first imu index ≥ previous frame
     # Ground truth at camera times.
@@ -316,16 +320,7 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
     a_body = jnp.einsum("nij,nj->ni", R_GtoI_i, a_IinG + gravity)
 
     key = jax.random.PRNGKey(cfg.sim.seed_measurements)
-    k_bw, k_ba, k_w, k_a, k_cam = jax.random.split(key, 5)
-    n_i = len(imu_t)
-    sqdt = np.sqrt(dt_imu)
-    # Bias random walk: first sample keeps zero bias (Simulator.cpp:359-374).
-    steps_g = cfg.imu_noises.sigma_wb * sqdt * jax.random.normal(k_bw, (n_i, 3), dtype)
-    steps_a = cfg.imu_noises.sigma_ab * sqdt * jax.random.normal(k_ba, (n_i, 3), dtype)
-    gt_bg = jnp.cumsum(steps_g.at[0].set(0.0), axis=0)
-    gt_ba = jnp.cumsum(steps_a.at[0].set(0.0), axis=0)
-    imu_w = w_IinI + gt_bg + cfg.imu_noises.sigma_w / sqdt * jax.random.normal(k_w, (n_i, 3), dtype)
-    imu_a = a_body + gt_ba + cfg.imu_noises.sigma_a / sqdt * jax.random.normal(k_a, (n_i, 3), dtype)
+    k_cam = jax.random.split(key, 5)[4]
 
     # ---------------- camera stream ----------------
     dt_cam = 1.0 / cfg.sim.freq_cam
@@ -345,7 +340,7 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
     w_img, h_img = cfg.cam_wh
     n_select = cfg.num_pts + cfg.num_pts_plane
 
-    def frame_obs(R_GtoI, p_IinG, k):
+    def frame_obs(R_GtoI, p_IinG, _k):
         """Project the whole map; occupancy-dedup; first-n_select in map order;
         add pixel noise (project_pointcloud :450-507 + get_next_cam :411-444)."""
         p_FinC = (R_ItoC @ (R_GtoI @ (fp - p_IinG).T)).T + p_IinC
@@ -372,34 +367,75 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
         take = valid & (rank < n_select)
         slot = jnp.where(take, rank, max_obs)  # overflow bucket
         ids = jnp.full((max_obs + 1,), -1, jnp.int32).at[slot].set(jnp.where(take, order, -1).astype(jnp.int32))[:max_obs]
-        uv_noisy = uv + cfg.msckf_options.sigma_pix * jax.random.normal(k, uv.shape, dtype)
-        uvs = jnp.zeros((max_obs + 1, 2), dtype).at[slot].set(jnp.where(take[:, None], uv_noisy, 0.0))[:max_obs]
+        uvs_true = jnp.zeros((max_obs + 1, 2), dtype).at[slot].set(jnp.where(take[:, None], uv, 0.0))[:max_obs]
         pls = jnp.full((max_obs + 1,), -1, jnp.int32).at[slot].set(jnp.where(take, fplane, -1))[:max_obs]
-        return ids, uvs, pls
+        return ids, uvs_true, pls
 
     cam_keys = jax.random.split(k_cam, n_c)
-    obs_id, obs_uv, obs_plane = jax.jit(jax.vmap(frame_obs))(R_GtoI_c, p_c, cam_keys)
+    obs_id, obs_uv_true, obs_plane = jax.jit(jax.vmap(frame_obs))(R_GtoI_c, p_c, cam_keys)
 
     # IMU window bookkeeping: first IMU index at-or-after each previous frame time.
     prev_t = np.concatenate([[t_start], cam_t_imu[:-1]])
     win_start = np.searchsorted(imu_t, prev_t - 1e-9) - 1
     win_start = np.clip(win_start, 0, None).astype(np.int32)
 
-    # Ground-truth biases at camera times (linear interp).
-    gt_bg_cam = jax.vmap(lambda t: _interp(ti, gt_bg, t))(tc)
-    gt_ba_cam = jax.vmap(lambda t: _interp(ti, gt_ba, t))(tc)
-
-    return SimData(
-        imu_t=ti, imu_w=imu_w, imu_a=imu_a, gt_bg=gt_bg, gt_ba=gt_ba,
+    zeros_i = jnp.zeros((len(imu_t), 3), dtype)
+    zeros_c = jnp.zeros((n_c, 3), dtype)
+    truth = SimData(
+        imu_t=ti, imu_w=w_IinI, imu_a=a_body, imu_w_true=w_IinI, imu_a_true=a_body,
+        gt_bg=zeros_i, gt_ba=zeros_i,
         cam_t=tc - cfg.calib_camimu_dt, cam_t_imu=tc,
-        obs_id=obs_id, obs_uv=obs_uv, obs_plane=obs_plane,
+        obs_id=obs_id, obs_uv=obs_uv_true, obs_uv_true=obs_uv_true, obs_plane=obs_plane,
         imu_window_start=jnp.asarray(win_start),
-        gt_q=gt_q, gt_p=p_c, gt_v=v_c, gt_bg_cam=gt_bg_cam, gt_ba_cam=gt_ba_cam,
+        gt_q=gt_q, gt_p=p_c, gt_v=v_c, gt_bg_cam=zeros_c, gt_ba_cam=zeros_c,
         feat_p=fp, feat_plane=fplane, plane_cp=jnp.asarray(planes.cp, dtype),
     )
+    noise = NoiseParams(
+        sigma_w=cfg.imu_noises.sigma_w, sigma_a=cfg.imu_noises.sigma_a,
+        sigma_wb=cfg.imu_noises.sigma_wb, sigma_ab=cfg.imu_noises.sigma_ab,
+        sigma_pix=cfg.msckf_options.sigma_pix, dt_imu=dt_imu,
+    )
+    return apply_noise(truth, jax.random.PRNGKey(cfg.sim.seed_measurements), noise)
 
 
 def _interp(ts, vals, t):
     i = jnp.clip(jnp.searchsorted(ts, t) - 1, 0, ts.shape[0] - 2)
     lam = jnp.clip((t - ts[i]) / (ts[i + 1] - ts[i]), 0.0, 1.0)
     return (1 - lam) * vals[i] + lam * vals[i + 1]
+
+
+class NoiseParams(NamedTuple):
+    """Static noise magnitudes for Monte-Carlo re-noising."""
+
+    sigma_w: float
+    sigma_a: float
+    sigma_wb: float
+    sigma_ab: float
+    sigma_pix: float
+    dt_imu: float
+
+
+@functools.partial(jax.jit, static_argnames=("noise",))
+def apply_noise(truth: SimData, key, noise: "NoiseParams") -> SimData:
+    """Draw one Monte-Carlo instance: bias random walks + white IMU noise +
+    pixel noise on top of the noiseless streams (Simulator.cpp:355-382,
+    get_next_cam :434-439). vmap over keys for a whole MC sweep in one batch.
+    """
+    dtype = truth.imu_w_true.dtype
+    k_bw, k_ba, k_w, k_a, k_px = jax.random.split(key, 5)
+    n_i = truth.imu_t.shape[0]
+    sqdt = jnp.sqrt(jnp.asarray(noise.dt_imu, dtype))
+    steps_g = noise.sigma_wb * sqdt * jax.random.normal(k_bw, (n_i, 3), dtype)
+    steps_a = noise.sigma_ab * sqdt * jax.random.normal(k_ba, (n_i, 3), dtype)
+    gt_bg = jnp.cumsum(steps_g.at[0].set(0.0), axis=0)
+    gt_ba = jnp.cumsum(steps_a.at[0].set(0.0), axis=0)
+    imu_w = truth.imu_w_true + gt_bg + noise.sigma_w / sqdt * jax.random.normal(k_w, (n_i, 3), dtype)
+    imu_a = truth.imu_a_true + gt_ba + noise.sigma_a / sqdt * jax.random.normal(k_a, (n_i, 3), dtype)
+    valid_obs = (truth.obs_id >= 0)[..., None]
+    obs_uv = truth.obs_uv_true + noise.sigma_pix * jax.random.normal(k_px, truth.obs_uv_true.shape, dtype) * valid_obs
+    gt_bg_cam = jax.vmap(lambda t: _interp(truth.imu_t, gt_bg, t))(truth.cam_t_imu)
+    gt_ba_cam = jax.vmap(lambda t: _interp(truth.imu_t, gt_ba, t))(truth.cam_t_imu)
+    return truth._replace(
+        imu_w=imu_w, imu_a=imu_a, gt_bg=gt_bg, gt_ba=gt_ba,
+        obs_uv=obs_uv, gt_bg_cam=gt_bg_cam, gt_ba_cam=gt_ba_cam,
+    )
