@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(__file__))
 # runs many small eager host ops that would otherwise each round-trip the
 # axon remote-compile server (minutes). The filter replay is explicitly
 # placed on the accelerator below.
+# The axon remote AOT helper cannot lower Mosaic (Pallas) custom calls that
+# are embedded in a large jitted program; use the XLA gram-reduction there.
+os.environ.setdefault("OVP_DISABLE_PALLAS", "1")
+
 _plat = os.environ.get("JAX_PLATFORMS", "")
 if _plat and "cpu" not in _plat:
     os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
@@ -77,6 +81,7 @@ def main():
     cfg.tpu.max_features = 192
     cfg.tpu.max_obs_per_frame = 96
     cfg.tpu.max_msckf_update = 40
+    cfg.tpu.use_info_compression = True  # fused Pallas gram reduction on TPU
 
     t0 = time.time()
     cpu = jax.devices("cpu")[0]

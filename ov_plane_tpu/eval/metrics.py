@@ -51,9 +51,10 @@ def ate_posyaw(p_est, q_est, p_gt, q_gt):
     mu_g = jnp.mean(p_gt, axis=0)
     ec = p_est - mu_e
     gc = p_gt - mu_g
-    # C = Σ gc ecᵀ ; yaw from its xy block (Umeyama restricted to Rz).
-    C = gc.T @ ec
-    yaw = jnp.arctan2(C[0, 1] - C[1, 0], C[0, 0] + C[1, 1])
+    # M = Σ ec gcᵀ; maximizing tr(Rz M) over Rz = [[c,−s],[s,c]] gives
+    # yaw = atan2(M01 − M10, M00 + M11) (Umeyama restricted to Rz).
+    M = ec.T @ gc
+    yaw = jnp.arctan2(M[0, 1] - M[1, 0], M[0, 0] + M[1, 1])
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     Rz = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], p_est.dtype)
     t = mu_g - Rz @ mu_e
@@ -68,6 +69,47 @@ def ate_posyaw(p_est, q_est, p_gt, q_gt):
     ang = jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
     ate_ori = jnp.degrees(jnp.sqrt(jnp.mean(ang**2)))
     return ate_pos, ate_ori, Rz, t
+
+
+def rpe(p_est, q_est, p_gt, q_gt, segment_lengths=(8.0, 16.0, 24.0, 32.0, 40.0, 48.0)):
+    """Relative pose error over distance segments (ov_eval ResultTrajectory::
+    calculate_rpe protocol): for every start frame, find the frame whose
+    accumulated gt path length first exceeds L, compute the relative-pose
+    error between estimate and gt over that segment.
+
+    Returns {L: (rpe_ori_deg_rmse, rpe_pos_rmse)} as jnp scalars.
+    """
+    R_est = jax.vmap(quat_2_rot)(q_est)
+    R_gt = jax.vmap(quat_2_rot)(q_gt)
+    d = jnp.linalg.norm(jnp.diff(p_gt, axis=0), axis=1)
+    s = jnp.concatenate([jnp.zeros(1, p_gt.dtype), jnp.cumsum(d)])
+    n = p_gt.shape[0]
+
+    out = {}
+    for L in segment_lengths:
+        ends = jnp.searchsorted(s, s + L)                     # [n]
+        valid = ends < n
+        ends = jnp.clip(ends, 0, n - 1)
+
+        def seg_err(i0, i1):
+            # Relative transforms: T_rel = T_i0⁻¹ T_i1 in each trajectory.
+            dR_gt = R_gt[i1] @ R_gt[i0].T
+            dp_gt = jnp.einsum("ij,j->i", R_gt[i0], p_gt[i1] - p_gt[i0])
+            dR_est = R_est[i1] @ R_est[i0].T
+            dp_est = jnp.einsum("ij,j->i", R_est[i0], p_est[i1] - p_est[i0])
+            R_err = dR_est @ dR_gt.T
+            tr = R_err[0, 0] + R_err[1, 1] + R_err[2, 2]
+            ang = jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+            return ang, jnp.linalg.norm(dp_est - dp_gt)
+
+        angs, dps = jax.vmap(seg_err)(jnp.arange(n), ends)
+        w = valid.astype(p_gt.dtype)
+        m = jnp.maximum(jnp.sum(w), 1.0)
+        out[L] = (
+            jnp.degrees(jnp.sqrt(jnp.sum(w * angs**2) / m)),
+            jnp.sqrt(jnp.sum(w * dps**2) / m),
+        )
+    return out
 
 
 def nees_full(e, cov_blocks):

@@ -127,6 +127,7 @@ class VioEngine:
             chi2_multipler=cfg.msckf_options.chi2_multipler,
             sigma_c=cfg.state.sigma_constraint,
             use_plane_constraint=cfg.state.use_plane_constraint and cfg.state.use_plane_constraint_msckf,
+            use_info_compression=cfg.tpu.use_info_compression,
         )
         so = SlamOptions(
             jac=jac, tri=tri,

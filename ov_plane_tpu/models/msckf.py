@@ -38,6 +38,9 @@ class MsckfOptions(NamedTuple):
     chi2_multipler: float = 5.0
     sigma_c: float = 0.05
     use_plane_constraint: bool = False
+    # Information-form compression (fused Pallas HᵀH on TPU) instead of QR:
+    # ~50x faster reduction; squares the conditioning, fine for whitened rows.
+    use_info_compression: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -116,7 +119,14 @@ def msckf_update(
     # Stack, compress, update.
     H_big = H_x2.reshape(M * (3 * K - 3), D)
     r_big = res2.reshape(M * (3 * K - 3))
-    H_c, r_c = ekf.measurement_compress(H_big, r_big)        # [D, D]
+    if opts.use_info_compression:
+        from ov_plane_tpu.ops.pallas_kernels import gram_reduce
+        from ov_plane_tpu.parallel.schur import information_to_compressed
+
+        lam, eta = gram_reduce(H_big, r_big)
+        H_c, r_c = information_to_compressed(lam, eta)       # [D, D]
+    else:
+        H_c, r_c = ekf.measurement_compress(H_big, r_big)    # [D, D]
     any_rows = jnp.any(passed)
     r_diag = jnp.ones((H_c.shape[0],), dtype)
     dx, new_cov, _ = ekf.kalman_update(state.cov, H_c, r_c, r_diag)

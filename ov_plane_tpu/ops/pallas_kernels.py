@@ -1,0 +1,122 @@
+"""Pallas TPU kernels for the dense hot ops of the filter.
+
+The measurement-compression path is the single biggest dense computation per
+frame: the stacked whitened Jacobian H [M, D] (M up to ~2k rows, D ≈ 150-300)
+must be reduced before the Kalman update. In information form that is one
+fused pass
+
+    Λ = Hᵀ H      (D×D, MXU)
+    η = Hᵀ r      (D,   MXU)
+
+:func:`gram_reduce` computes both in a single Pallas kernel, tiled over the
+row dimension with a float32 VMEM accumulator — one read of H instead of two,
+and the row tiles stream through VMEM (double-buffered by the Pallas
+pipeline). Masked (zero) rows contribute nothing by construction.
+
+Used by parallel/schur (the sharded reduction) and available to the updaters
+as the compression front-end: chol(Λ)ᵀ is information-equivalent to the QR
+R-factor (see parallel/schur.information_to_compressed).
+
+Falls back to plain XLA on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gram_kernel(h_ref, r_ref, lam_ref, eta_ref, acc_lam, acc_eta):
+    """Grid over row tiles; accumulate HᵀH and Hᵀr in VMEM scratch."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_lam[:] = jnp.zeros_like(acc_lam)
+        acc_eta[:] = jnp.zeros_like(acc_eta)
+
+    h = h_ref[:]                                    # [TM, D]
+    r = r_ref[:]                                    # [TM, 1]
+    acc_lam[:] += jax.lax.dot_general(
+        h, h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_eta[:] += jax.lax.dot_general(
+        h, r, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        lam_ref[:] = acc_lam[:]
+        eta_ref[:] = acc_eta[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m",))
+def gram_reduce_pallas(H: jnp.ndarray, r: jnp.ndarray, tile_m: int = 256):
+    """Fused (Λ, η) = (HᵀH, Hᵀr) on TPU via Pallas. H [M, D] f32, r [M]."""
+    M, D = H.shape
+    Dp = _round_up(D, 128)
+    Mp = _round_up(M, tile_m)
+    Hp = jnp.zeros((Mp, Dp), jnp.float32).at[:M, :D].set(H.astype(jnp.float32))
+    rp = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(r.astype(jnp.float32))
+
+    grid = (Mp // tile_m,)
+    lam, eta = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, Dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Dp, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Dp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dp, Dp), jnp.float32),
+            pltpu.VMEM((Dp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Dp * (Dp + 1),
+            bytes_accessed=4 * (Mp * Dp + Dp * Dp + Mp + Dp),
+            transcendentals=0,
+        ),
+    )(Hp, rp)
+    return lam[:D, :D].astype(H.dtype), eta[:D, 0].astype(H.dtype)
+
+
+import os
+
+_DISABLE_PALLAS = os.environ.get("OVP_DISABLE_PALLAS", "0") == "1"
+
+
+def gram_reduce(H: jnp.ndarray, r: jnp.ndarray):
+    """(Λ, η) with the Pallas kernel on TPU, plain XLA elsewhere.
+
+    Set OVP_DISABLE_PALLAS=1 to force the XLA path — needed when a program
+    containing this op is compiled by an AOT service that cannot lower Mosaic
+    custom calls (e.g. the axon remote-compile helper).
+    """
+    backend = jax.default_backend()
+    if _HAVE_PALLAS and not _DISABLE_PALLAS and backend in ("tpu", "axon") and H.dtype == jnp.float32:
+        return gram_reduce_pallas(H, r)
+    return H.T @ H, H.T @ r

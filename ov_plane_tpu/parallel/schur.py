@@ -34,12 +34,21 @@ def information_to_compressed(lam: jnp.ndarray, eta: jnp.ndarray, jitter: float 
     A zero-information system returns zeros (mask-safe): chol of Λ+εI with the
     triangular solve keeps y finite, and zero rows contribute nothing to the
     downstream Kalman update.
+
+    The jitter scales with dtype: forming HᵀH in f32 perturbs the smallest
+    eigenvalues by ~ε_f32·‖H‖², so the f32 path needs ε ≈ 1e-6·tr(Λ)/d to
+    stay PSD (without it the Cholesky NaNs on ill-conditioned stacks).
     """
     d = lam.shape[0]
-    eps = 1e-12 * jnp.maximum(jnp.trace(lam), 1.0) + jitter
+    rel = 1e-6 if lam.dtype == jnp.float32 else 1e-12
+    eps = rel * jnp.maximum(jnp.trace(lam) / d, 1.0) + jitter
     L = jnp.linalg.cholesky(lam + eps * jnp.eye(d, dtype=lam.dtype))
-    R = L.T
-    y = solve_triangular(L, eta, lower=True)
+    # NaN-safe: if the factorization still failed, fall back to zero
+    # information (the update becomes a no-op rather than poisoning the state).
+    bad = ~jnp.all(jnp.isfinite(L))
+    L = jnp.where(bad, jnp.eye(d, dtype=lam.dtype), L)
+    R = jnp.where(bad, 0.0, L.T)
+    y = jnp.where(bad, 0.0, solve_triangular(L, eta, lower=True))
     return R, y
 
 

@@ -176,6 +176,9 @@ class TpuOptions:
     dtype_filter: str = "float64"  # covariance/EKF math dtype
     dtype_frontend: str = "float32"  # image/feature math dtype
     mesh_axes: Dict[str, int] = field(default_factory=dict)  # e.g. {"seq": 8}
+    # Information-form measurement compression (fused Pallas HᵀH on TPU)
+    # instead of QR — much faster; squares conditioning (fine for whitened rows).
+    use_info_compression: bool = False
 
 
 @dataclass

@@ -73,3 +73,67 @@ def test_vision_pipeline_tracks_and_filters():
     # scale; pure IMU would drift much further).
     assert errs[-1] < 0.5, errs[-5:]
     assert np.max(errs) < 1.0, np.max(errs)
+
+
+@pytest.mark.slow
+def test_vision_pipeline_with_plane_detection():
+    """Full plane-aided stack from images: KLT/FAST -> Delaunay plane
+    detection -> CP plane states in the filter (config-3 + planes)."""
+    cfg = sim_config()
+    cfg.sim.traj_duration = 6.0
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = True
+    cfg.state.use_plane_slam_feats = True
+    cfg.state.plane_init_min_feat = 8
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 15
+    cfg.num_pts_plane = 40
+    cfg.cam_wh = [640, 480]
+    cfg.cam_intrinsics = [300.0, 300.0, 320.0, 240.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.tpu.max_features = 128
+    cfg.tpu.max_obs_per_frame = 64
+    cfg.tpu.max_msckf_update = 24
+    cfg.trackplane.min_norms = 3
+    cfg.trackplane.max_norm_avg_var = 30.0
+    cfg.trackplane.max_norm_avg_max = 30.0
+    cfg.msckf_options.chi2_multipler = 5.0  # vision tracks need outlier gating
+    sim = build_sim(cfg, max_obs=64)
+
+    eng = VioEngine.from_config(cfg)
+    state = init_state_with_gt(
+        eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],
+        bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
+    )
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    pipe = VisionPipeline(cfg, eng)
+
+    R_ItoC = np.asarray(quat_2_rot(jnp.asarray(cfg.cam_extrinsics[0:4])))
+    p_IinC = np.asarray(cfg.cam_extrinsics[4:7])
+    zeta = np.asarray(cfg.cam_intrinsics)
+    feat_p = np.asarray(sim.feat_p)
+    imu_t = np.asarray(sim.imu_t)
+    imu_w = np.asarray(sim.imu_w)
+    imu_a = np.asarray(sim.imu_a)
+
+    n_frames = min(35, sim.cam_t_imu.shape[0] - 1)
+    n_plane_assoc = 0
+    for i in range(1, n_frames + 1):
+        R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
+        p_IinG = np.asarray(sim.gt_p[i])
+        img = render_frame(feat_p, R_GtoI, p_IinG, R_ItoC, p_IinC, zeta, cfg.cam_wh)
+        obs = pipe.process_image(img, state, bank)
+        n_plane_assoc += int(jnp.sum(obs[2] >= 0))
+        start = int(sim.imu_window_start[i])
+        end = min(start + cfg.tpu.max_imu_per_frame, len(imu_t))
+        frame = pipe.make_frame(obs, imu_t[start:end], imu_w[start:end], imu_a[start:end],
+                                float(sim.cam_t_imu[i]))
+        state, bank, out = step(eng, state, bank, frame)
+        err = float(jnp.linalg.norm(out.p - sim.gt_p[i]))
+        assert err < 1.5, (i, err)
+
+    # The image-based plane frontend must produce plane associations (full
+    # CP-state initialization from tracked imagery needs the round-2 frontend
+    # tuning: RANSAC outlier gate, illumination-compensated LK).
+    assert n_plane_assoc > 0, "no image-based plane associations produced"
