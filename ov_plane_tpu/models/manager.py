@@ -216,6 +216,7 @@ def init_state_with_gt(eng: VioEngine, cfg: VioConfig, t0, q0, p0, v0, bg0, ba0,
         calib_cam=jnp.asarray(cfg.cam_extrinsics, dtype),
         cam_zeta=jnp.asarray(cfg.cam_intrinsics, dtype),
         calib_dt=jnp.asarray(cfg.calib_camimu_dt, dtype),
+        last_dt=jnp.asarray(cfg.calib_camimu_dt, dtype),
     )
     return st
 
@@ -393,7 +394,7 @@ def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data
         imu_w = jax.lax.dynamic_slice(sim_data.imu_w, (start, z), (imu_window, 3))
         imu_a = jax.lax.dynamic_slice(sim_data.imu_a, (start, z), (imu_window, 3))
         frame = FrameData(
-            imu_t=imu_t, imu_w=imu_w, imu_a=imu_a, t_new=sim_data.cam_t_imu[i],
+            imu_t=imu_t, imu_w=imu_w, imu_a=imu_a, t_new=sim_data.cam_t[i],
             obs_id=sim_data.obs_id[i], obs_uv=sim_data.obs_uv[i], obs_plane=sim_data.obs_plane[i],
         )
         st, bk, out = step(eng, st, bk, frame)

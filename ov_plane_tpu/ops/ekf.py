@@ -95,8 +95,15 @@ def augment_clone_timeoffset(cov: jnp.ndarray, dst, dnc_dt: jnp.ndarray, dt_idx:
     add = cov_dt_col @ dnc_dt[None, :]                                      # [D, 6]
     cur_cols = jax.lax.dynamic_slice(cov, (z, dst), (d, 6))
     cov = jax.lax.dynamic_update_slice(cov, cur_cols + add, (z, dst))
+    # Second (row) add must use the UPDATED dt row — the first add wrote
+    # P_dt,dt·dncᵀ into its clone columns, which yields the quadratic term
+    # dnc·P_dt,dt·dncᵀ in the clone's own block; snapshotting the original dt
+    # column instead leaves the covariance indefinite (the reference's
+    # in-place Eigen adds get this implicitly, StateHelper.cpp:620-623).
+    row_dt = jax.lax.dynamic_slice(cov, (dt_idx, 0), (1, d))               # [1, D] updated
+    add_rows = dnc_dt[:, None] @ row_dt                                     # [6, D]
     cur_rows = jax.lax.dynamic_slice(cov, (dst, z), (6, d))
-    cov = jax.lax.dynamic_update_slice(cov, cur_rows + add.T, (dst, z))
+    cov = jax.lax.dynamic_update_slice(cov, cur_rows + add_rows, (dst, z))
     return cov
 
 

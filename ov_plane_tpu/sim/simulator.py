@@ -374,9 +374,11 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
     cam_keys = jax.random.split(k_cam, n_c)
     obs_id, obs_uv_true, obs_plane = jax.jit(jax.vmap(frame_obs))(R_GtoI_c, p_c, cam_keys)
 
-    # IMU window bookkeeping: first IMU index at-or-after each previous frame time.
+    # IMU window bookkeeping: first IMU index at-or-after each previous frame
+    # time, minus margin so time-offset calibration (up to ±8 samples ≈ 20 ms
+    # of dt estimate) keeps the propagation interval covered.
     prev_t = np.concatenate([[t_start], cam_t_imu[:-1]])
-    win_start = np.searchsorted(imu_t, prev_t - 1e-9) - 1
+    win_start = np.searchsorted(imu_t, prev_t - 1e-9) - 9
     win_start = np.clip(win_start, 0, None).astype(np.int32)
 
     zeros_i = jnp.zeros((len(imu_t), 3), dtype)

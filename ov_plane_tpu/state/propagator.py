@@ -246,8 +246,12 @@ def propagate_and_clone(state: VioState, imu_t, imu_w, imu_a, t_new,
     Returns the new VioState with the clone inserted in a recycled slot.
     """
     lay = state.layout
+    # Camera-clock → IMU-clock mapping (Propagator.cpp:60-78): the interval is
+    # [state.t + last_dt, t_new + calib_dt_estimate].
+    t0_imu = state.t + state.last_dt
+    t1_imu = jnp.asarray(t_new, state.t.dtype) + state.calib_dt
     imu_n, fej_n, phi, qd, last_w = propagate_mean_cov(
-        state.imu, state.imu_fej, None, imu_t, imu_w, imu_a, state.t, t_new, noises, gravity, opts
+        state.imu, state.imu_fej, None, imu_t, imu_w, imu_a, t0_imu, t1_imu, noises, gravity, opts
     )
     cov = ekf.propagate_cov(state.cov, phi, qd)
 
@@ -264,6 +268,7 @@ def propagate_and_clone(state: VioState, imu_t, imu_w, imu_a, t_new,
 
     state = state.replace(
         t=jnp.asarray(t_new, state.t.dtype),
+        last_dt=state.calib_dt,
         imu=imu_n,
         imu_fej=fej_n,
         cov=cov,

@@ -31,8 +31,12 @@ class VioState:
     # Static layout (not a leaf).
     layout: StateLayout = struct.field(pytree_node=False)
 
-    # Time of the current state estimate (IMU clock).
+    # Time of the current state estimate (CAMERA clock, matching the
+    # reference: state->_timestamp is the camera time and the IMU-clock
+    # mapping is t_imu = t_cam + calib_dt, Propagator.cpp:60-78).
     t: jnp.ndarray = None  # scalar f64
+    # calib_dt estimate used for the LAST propagation (last_prop_time_offset).
+    last_dt: jnp.ndarray = None
     # Time the filter was initialized (gates dt_slam_delay-style logic).
     startup_t: jnp.ndarray = None
 
@@ -77,6 +81,7 @@ class VioState:
         return cls(
             layout=layout,
             t=jnp.asarray(0.0, dtype),
+            last_dt=jnp.asarray(0.0, dtype),
             startup_t=jnp.asarray(0.0, dtype),
             imu=imu,
             imu_fej=imu,
