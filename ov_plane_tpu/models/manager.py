@@ -95,12 +95,15 @@ class VioEngine:
     dt_slam_delay: float
     use_slam: bool
     use_planes: bool
+    try_zupt: bool = False
+    zupt_opts: "ZuptOptions" = None
 
     @classmethod
     def from_config(cls, cfg: VioConfig) -> "VioEngine":
         from ov_plane_tpu.models.plane_init import PlaneInitOptions
         from ov_plane_tpu.models.plane_msckf import PlaneMsckfOptions
         from ov_plane_tpu.models.slam import SlamOptions
+        from ov_plane_tpu.models.zupt import ZuptOptions
         from ov_plane_tpu.ops.planefit import PlaneRefineOptions
 
         lay = StateLayout(
@@ -178,6 +181,20 @@ class VioEngine:
             sigma_wb2=cfg.imu_noises.sigma_wb_2,
             sigma_ab2=cfg.imu_noises.sigma_ab_2,
             min_clones_to_update=min(cfg.state.max_clone_size, 5),
+            try_zupt=cfg.try_zupt,
+            zupt_opts=ZuptOptions(
+                chi2_multipler=max(cfg.zupt_options.chi2_multipler, 1.0),
+                noise_multiplier=cfg.zupt_noise_multiplier,
+                max_velocity=cfg.zupt_max_velocity,
+                max_disparity=cfg.zupt_max_disparity,
+                only_at_beginning=cfg.zupt_only_at_beginning,
+                sigma_w2=cfg.imu_noises.sigma_w_2,
+                sigma_a2=cfg.imu_noises.sigma_a_2,
+                sigma_wb2=cfg.imu_noises.sigma_wb_2,
+                sigma_ab2=cfg.imu_noises.sigma_ab_2,
+                do_fej=cfg.state.do_fej,
+                gravity_mag=cfg.gravity_mag,
+            ),
             max_slam=cfg.state.max_slam_features,
             dt_slam_delay=2.0,
             use_slam=cfg.state.max_slam_features > 0,
@@ -252,7 +269,11 @@ def triage(eng: VioEngine, state: VioState, bank: fb.FeatureBank, cur_slot, allo
 
     candidates = (lost | marg) & ~promoted & (nobs >= 2)
     score = jnp.where(candidates, nobs, -1)
-    top_scores, sel_idx = jax.lax.top_k(score, M)
+    k = min(M, score.shape[0])  # bank may be smaller than the selection batch
+    top_scores, sel_idx = jax.lax.top_k(score, k)
+    if k < M:
+        top_scores = jnp.concatenate([top_scores, jnp.full((M - k,), -1, top_scores.dtype)])
+        sel_idx = jnp.concatenate([sel_idx, jnp.zeros((M - k,), sel_idx.dtype)])
     rank_ok = jnp.arange(M) < eng.max_msckf_in_update
     sel_valid = (top_scores >= 2) & rank_ok
     return sel_idx, sel_valid, slam_idx, slam_valid
@@ -273,6 +294,32 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     dtype = state.imu.dtype
     noises = jnp.asarray([eng.sigma_w2, eng.sigma_a2, eng.sigma_wb2, eng.sigma_ab2], dtype)
     gravity = jnp.asarray([0.0, 0.0, eng.gravity_mag], dtype)
+
+    # 0. ZUPT attempt BEFORE propagation (VioManager.cpp:305-313): if the
+    #    platform is stationary, update biases/orientation, advance time, and
+    #    skip this frame's clone + visual update entirely.
+    zupt_accepted = jnp.asarray(False)
+    state_zupt = state
+    if eng.try_zupt:
+        from ov_plane_tpu.models.zupt import try_zupt
+
+        # Image disparity: this frame's observations vs. the newest clone's.
+        prev_slot = state.newest_clone_slot
+        eqz = (frame.obs_id[:, None] == bank.fid[None, :]) & (bank.fid >= 0)[None, :]
+        has_m = jnp.any(eqz, axis=1)
+        rowz = jnp.argmax(eqz, axis=1)
+        both = has_m & bank.mask[rowz, prev_slot] & (frame.obs_id >= 0)
+        dd = jnp.linalg.norm(frame.obs_uv - bank.uv[rowz, prev_slot], axis=1)
+        n_disp = jnp.sum(both)
+        avg_disp = jnp.sum(jnp.where(both, dd, 0.0)) / jnp.maximum(n_disp, 1)
+
+        state_zupt, zupt_ok = try_zupt(
+            state, eng.zupt_opts, frame.imu_t, frame.imu_w, frame.imu_a, frame.t_new,
+            avg_disp, n_disp,
+        )
+        allow = ~(jnp.asarray(eng.zupt_opts.only_at_beginning) & state.has_moved)
+        zupt_accepted = zupt_ok & allow
+    bank_zupt = bank
 
     # 1. Propagate + stochastic clone into a recycled slot.
     state, new_slot = propagate_and_clone(
@@ -361,6 +408,15 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     state = marginalize_oldest_clone(state, eng.max_clone_size)
     bank_cleared = fb.clear_clone_column(bank, marg_slot)
     bank = jax.tree.map(lambda a, b: jnp.where(over, a, b), bank_cleared, bank)
+
+    # 11. ZUPT select: keep the ZUPT-updated state and the pre-frame bank
+    #     (current-frame tracks dropped, UpdaterZeroVelocity.cpp:241-247).
+    state = state.replace(has_moved=state.has_moved | ~zupt_accepted)
+    if eng.try_zupt:
+        state_zupt = state_zupt.replace(has_moved=state.has_moved)
+        state = jax.tree.map(lambda a, b: jnp.where(zupt_accepted, a, b), state_zupt, state)
+        bank = jax.tree.map(lambda a, b: jnp.where(zupt_accepted, a, b), bank_zupt, bank)
+        used = used & ~zupt_accepted
 
     out = StepOutput(
         t=state.t, q=state.imu[0:4], p=state.imu[4:7], v=state.imu[7:10],

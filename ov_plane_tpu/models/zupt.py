@@ -60,8 +60,11 @@ def try_zupt(state: VioState, opts: ZuptOptions, imu_t, imu_w, imu_a, t_new,
     R_jac = quat_2_rot(state.imu_fej[0:4]) if opts.do_fej else R_GtoI
     gravity = jnp.asarray([0.0, 0.0, opts.gravity_mag], dtype)
 
-    ta = jnp.clip(imu_t[:-1], state.t, t_new)
-    tb = jnp.clip(imu_t[1:], state.t, t_new)
+    # Camera-clock → IMU-clock interval (UpdaterZeroVelocity.cpp:91-100).
+    t0_imu = state.t + state.last_dt
+    t1_imu = jnp.asarray(t_new, dtype) + state.calib_dt
+    ta = jnp.clip(imu_t[:-1], t0_imu, t1_imu)
+    tb = jnp.clip(imu_t[1:], t0_imu, t1_imu)
     dt = tb - ta
     valid = (dt > 0) & jnp.isfinite(dt)
     dt_s = jnp.where(valid, dt, 1.0)
@@ -108,7 +111,7 @@ def try_zupt(state: VioState, opts: ZuptOptions, imu_t, imu_w, imu_a, t_new,
     # Apply: inflate bias covariance, EKF update, advance time (no clone).
     new_cov = state.cov + jnp.diag(q_bias)
     zupt_state, _ = ekf.ekf_update(state.replace(cov=new_cov), H, res, jnp.ones_like(res))
-    zupt_state = zupt_state.replace(t=jnp.asarray(t_new, dtype))
+    zupt_state = zupt_state.replace(t=jnp.asarray(t_new, dtype), last_dt=state.calib_dt)
     return zupt_state, accepted
 
 

@@ -39,6 +39,9 @@ class VioState:
     last_dt: jnp.ndarray = None
     # Time the filter was initialized (gates dt_slam_delay-style logic).
     startup_t: jnp.ndarray = None
+    # Whether a normal (non-ZUPT) frame has been processed since startup
+    # (gates zupt_only_at_beginning, VioManager has_moved_since_zupt).
+    has_moved: jnp.ndarray = None
 
     # Active IMU state x16: [q(4), p(3), v(3), bg(3), ba(3)] (reference IMU Type order).
     imu: jnp.ndarray = None
@@ -83,6 +86,7 @@ class VioState:
             t=jnp.asarray(0.0, dtype),
             last_dt=jnp.asarray(0.0, dtype),
             startup_t=jnp.asarray(0.0, dtype),
+            has_moved=jnp.asarray(False),
             imu=imu,
             imu_fej=imu,
             calib_dt=jnp.zeros((), dtype),

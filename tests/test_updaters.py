@@ -1,6 +1,7 @@
 """Tests for ZUPT and the static inertial initializer."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from ov_plane_tpu.models.initializer import InitOptions, static_initialize
@@ -102,3 +103,53 @@ def test_compute_disparity():
     avg, n = compute_disparity(jnp.asarray(uv), jnp.asarray(mask), 0, 1)
     assert int(n) == 3
     np.testing.assert_allclose(float(avg), 5.0)
+
+
+def test_zupt_in_step_skips_cloning():
+    """Integration: with try_zupt on and a stationary platform, the frame step
+    applies the ZUPT (time advances, no new clone, no features consumed)."""
+    import jax
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import FrameData, VioEngine, init_state_with_gt, step
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.try_zupt = True
+    cfg.zupt_options.chi2_multipler = 1.0
+    cfg.zupt_max_disparity = 0.0  # disable the disparity override (imu-only)
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = False
+    cfg.state.use_plane_slam_feats = False
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.tpu.max_features = 32
+    cfg.tpu.max_obs_per_frame = 16
+    cfg.tpu.max_msckf_update = 8
+    cfg.tpu.max_imu_per_frame = 16
+
+    eng = VioEngine.from_config(cfg)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    state = init_state_with_gt(eng, cfg, t0=0.0, q0=q0, p0=jnp.zeros(3), v0=jnp.zeros(3),
+                               bg0=jnp.zeros(3), ba0=jnp.zeros(3))
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+
+    n = cfg.tpu.max_imu_per_frame
+    for k in range(3):
+        ts = jnp.asarray(np.linspace(k * 0.1, (k + 1) * 0.1, n))
+        frame = FrameData(
+            imu_t=ts,
+            imu_w=jnp.asarray(1e-5 * RNG.normal(size=(n, 3))),
+            imu_a=jnp.asarray(np.tile([0, 0, cfg.gravity_mag], (n, 1)) + 1e-4 * RNG.normal(size=(n, 3))),
+            t_new=jnp.asarray((k + 1) * 0.1),
+            obs_id=jnp.full(16, -1, jnp.int32),
+            obs_uv=jnp.zeros((16, 2)),
+            obs_plane=jnp.full(16, -1, jnp.int32),
+        )
+        state, bank, out = step(eng, state, bank, frame)
+
+    # Stationary frames are absorbed by ZUPTs: no clones accumulate and the
+    # platform is still considered unmoved.
+    assert float(state.t) == pytest.approx(0.3)
+    assert int(state.num_clones) == 0
+    assert not bool(state.has_moved)
