@@ -81,9 +81,18 @@ def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 
 def get_trajectory(cfg_sim):
     """Resolve the configured trajectory source; fall back to the procedural
     room scan when the configured path is absent (reference configs point at
-    repo-relative paths that may not exist here)."""
+    repo-relative paths that may not exist here).
+
+    Loaded trajectories are truncated to ``traj_duration`` seconds when that
+    is positive (the reference replays full files; truncation keeps test and
+    bench compile sizes bounded)."""
     import os
 
     if cfg_sim.traj_path and os.path.exists(cfg_sim.traj_path):
-        return load_trajectory_txt(cfg_sim.traj_path)
+        times, pos, quat = load_trajectory_txt(cfg_sim.traj_path)
+        if cfg_sim.traj_duration and cfg_sim.traj_duration > 0:
+            keep = times <= times[0] + cfg_sim.traj_duration
+            if keep.sum() >= 8:
+                times, pos, quat = times[keep], pos[keep], quat[keep]
+        return times, pos, quat
     return room_scan_trajectory(duration=cfg_sim.traj_duration)
