@@ -1,0 +1,205 @@
+"""Serial EuRoC/ASL dataset replay (the ros1_serial_msckf equivalent, minus ROS).
+
+Consumes the standard extracted EuRoC layout:
+
+    <data>/mav0/imu0/data.csv                 t[ns], w(3), a(3)
+    <data>/mav0/cam0/data.csv                 t[ns], filename
+    <data>/mav0/cam0/data/<filename>.png
+    <data>/mav0/state_groundtruth_estimate0/data.csv   (optional, gt init + ATE)
+
+Flow (ros1_serial_msckf.cpp:46-287): sort measurements, initialize (ground
+truth if available, else static IMU init), then per camera frame run the
+vision pipeline (KLT/FAST/plane detection) and the jitted filter step.
+Outputs a TUM trajectory + timing CSV and prints posyaw ATE when gt is given.
+
+Usage:
+    python scripts/run_euroc.py --data /path/to/V1_01_easy --max-frames 500
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ov_plane_tpu.eval import io as eio
+from ov_plane_tpu.eval.metrics import ate_posyaw
+from ov_plane_tpu.frontend.pipeline import VisionPipeline
+from ov_plane_tpu.models.feature_bank import FeatureBank
+from ov_plane_tpu.models.initializer import InitOptions, static_initialize
+from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, step
+from ov_plane_tpu.state.vio_state import VioState
+from ov_plane_tpu.utils.config import load_yaml, sim_config
+
+
+def euroc_v1_config():
+    """EuRoC MAV cam0/imu0 calibration (kalibr values used by the reference
+    config/euroc_mav chain files)."""
+    cfg = sim_config()
+    cfg.cam_model = "radtan"
+    cfg.cam_wh = [752, 480]
+    cfg.cam_intrinsics = [458.654, 457.296, 367.215, 248.375,
+                          -0.28340811, 0.07395907, 0.00019359, 1.76187114e-05]
+    # T_cam_imu from EuRoC calibration → JPL q_ItoC + p_IinC.
+    T_CtoI = np.array([
+        [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+        [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+        [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    R_ItoC = T_CtoI[:3, :3].T
+    p_IinC = -R_ItoC @ T_CtoI[:3, 3]
+    from ov_plane_tpu.ops.quat import rot_2_quat
+
+    q = np.asarray(rot_2_quat(jnp.asarray(R_ItoC)))
+    cfg.cam_extrinsics = [*q, *p_IinC]
+    cfg.imu_noises.sigma_w = 1.6968e-04
+    cfg.imu_noises.sigma_wb = 1.9393e-05
+    cfg.imu_noises.sigma_a = 2.0e-3
+    cfg.imu_noises.sigma_ab = 3.0e-3
+    cfg.msckf_options.chi2_multipler = 5.0
+    cfg.slam_options.chi2_multipler = 5.0
+    cfg.state.max_slam_features = 15
+    cfg.gravity_mag = 9.81
+    return cfg
+
+
+def load_image(path):
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("L"), np.float32) / 255.0
+    return img
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="sequence dir containing mav0/")
+    ap.add_argument("--config", default=None, help="estimator_config.yaml (reference format)")
+    ap.add_argument("--out", default="/tmp/ovp_euroc_traj.txt")
+    ap.add_argument("--timing", default="/tmp/ovp_euroc_timing.csv")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--use-planes", action="store_true")
+    ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
+    args = ap.parse_args()
+
+    cfg = euroc_v1_config()
+    if args.config:
+        cfg = load_yaml(args.config, base=cfg)
+    cfg.state.use_plane_constraint = args.use_planes
+    cfg.state.use_plane_slam_feats = args.use_planes
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+
+    mav0 = os.path.join(args.data, "mav0")
+    imu = np.loadtxt(os.path.join(mav0, "imu0", "data.csv"), delimiter=",", comments="#")
+    imu_t = imu[:, 0] * 1e-9
+    imu_w = imu[:, 1:4]
+    imu_a = imu[:, 4:7]
+    cam_csv = np.genfromtxt(os.path.join(mav0, "cam0", "data.csv"), delimiter=",",
+                            comments="#", dtype=str)
+    cam_t = cam_csv[:, 0].astype(np.float64) * 1e-9
+    cam_files = [os.path.join(mav0, "cam0", "data", f.strip()) for f in cam_csv[:, 1]]
+
+    gt_path = os.path.join(mav0, "state_groundtruth_estimate0", "data.csv")
+    have_gt = os.path.exists(gt_path)
+
+    eng = VioEngine.from_config(cfg)
+    pipe = VisionPipeline(cfg, eng)
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    rec = eio.TimingRecorder()
+
+    # ----- initialization --------------------------------------------------
+    state = None
+    start_idx = 0
+    if have_gt:
+        t_gt, p_gt, q_gt, v_gt, bg_gt, ba_gt = eio.read_euroc_gt(gt_path)
+        # Initialize at the first camera frame with gt available.
+        for i, t in enumerate(cam_t):
+            j = np.searchsorted(t_gt, t)
+            if 0 < j < len(t_gt):
+                state = init_state_with_gt(
+                    eng, cfg, t0=t, q0=q_gt[j], p0=p_gt[j], v0=v_gt[j],
+                    bg0=bg_gt[j], ba0=ba_gt[j],
+                )
+                start_idx = i + 1
+                break
+    if state is None:
+        # Static initialization from the IMU stream.
+        opts = InitOptions(window_time=cfg.sim.freq_cam and 1.0 or 1.0,
+                           imu_thresh=1.0, gravity_mag=cfg.gravity_mag)
+        for i, t in enumerate(cam_t):
+            lo = np.searchsorted(imu_t, t - 2.5)
+            hi = np.searchsorted(imu_t, t)
+            if hi - lo < 100:
+                continue
+            ok, t0, imu16, cov_diag = static_initialize(
+                jnp.asarray(imu_t[lo:hi]), jnp.asarray(imu_w[lo:hi]), jnp.asarray(imu_a[lo:hi]),
+                t, opts,
+            )
+            if bool(ok):
+                state = init_state_with_gt(
+                    eng, cfg, t0=t, q0=imu16[0:4], p0=imu16[4:7], v0=imu16[7:10],
+                    bg0=imu16[10:13], ba0=imu16[13:16],
+                )
+                start_idx = i + 1
+                print(f"[euroc] static init at t={t:.3f}")
+                break
+    if state is None:
+        print("[euroc] initialization failed", file=sys.stderr)
+        sys.exit(1)
+
+    # ----- replay ----------------------------------------------------------
+    import time
+
+    times, poss, quats = [], [], []
+    n_done = 0
+    W = cfg.tpu.max_imu_per_frame
+    for i in range(start_idx, len(cam_t), args.downsample):
+        if args.max_frames and n_done >= args.max_frames:
+            break
+        t = float(cam_t[i])
+        lo = max(np.searchsorted(imu_t, float(state.t)) - 9, 0)
+        seg = slice(lo, min(lo + W, len(imu_t)))
+        t0 = time.perf_counter()
+        img = load_image(cam_files[i])
+        obs = pipe.process_image(img, state, bank)
+        t1 = time.perf_counter()
+        frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
+        state, bank, out = step(eng, state, bank, frame)
+        jax.block_until_ready(out.p)
+        t2 = time.perf_counter()
+        rec.add(t, {"tracking": t1 - t0, "total": t2 - t0})
+        times.append(t)
+        poss.append(np.asarray(out.p))
+        quats.append(np.asarray(out.q))
+        n_done += 1
+        if n_done % 50 == 0:
+            print(f"[euroc] {n_done} frames, t={t:.2f}, p={np.asarray(out.p).round(3)}, "
+                  f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}")
+
+    eio.write_tum(args.out, np.asarray(times), np.asarray(poss), np.asarray(quats))
+    rec.write(args.timing)
+    print(f"[euroc] wrote {args.out} ({n_done} frames)")
+
+    if have_gt and n_done > 10:
+        t_gt, p_gt, q_gt, *_ = eio.read_euroc_gt(gt_path)
+        gi = np.clip(np.searchsorted(t_gt, np.asarray(times)), 0, len(t_gt) - 1)
+        ate_p, ate_o, _, _ = ate_posyaw(
+            jnp.asarray(np.asarray(poss)), jnp.asarray(np.asarray(quats)),
+            jnp.asarray(p_gt[gi]), jnp.asarray(q_gt[gi]),
+        )
+        print(f"[euroc] ATE posyaw: {float(ate_p):.3f} m / {float(ate_o):.3f} deg")
+
+
+if __name__ == "__main__":
+    main()
