@@ -60,7 +60,7 @@ def _accel_device():
     return jax.devices()[0]
 
 REFERENCE_CPU_FPS = 100.0
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # MC instances vmapped on the chip
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))  # MC instances vmapped on the chip
 
 
 def main():

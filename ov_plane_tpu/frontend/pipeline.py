@@ -58,15 +58,23 @@ class VisionPipeline:
         )
         self.fe = FrontendState(plane_tracker=PlaneTracker(cfg.trackplane))
 
-    def process_image(self, img: np.ndarray, state: VioState, bank: fb.FeatureBank):
+    def process_image(self, img: np.ndarray, state: VioState, bank: fb.FeatureBank,
+                      imu_t=None, imu_w=None):
         """Track features into the new image, top up detections, detect planes.
 
-        img: [H, W] float in [0, 1]. Returns (obs_id, obs_uv, obs_plane)
-        fixed-shape arrays for FrameData.
+        img: [H, W] float in [0, 1]. When (imu_t, imu_w) covering the
+        inter-frame interval are given, tracked matches are gated by the
+        gyro-aided 2-point RANSAC (the reference's F-matrix RANSAC stage,
+        TrackPlane.cpp:1299-1357). Returns (obs_id, obs_uv, obs_plane).
         """
         cfg = self.cfg
         h, w = img.shape
-        pyr = tuple(fklt.build_pyramid(jnp.asarray(img, jnp.float32), self.klt_opts.levels))
+        from ov_plane_tpu.frontend import imageproc as ip
+
+        method = {"NONE": ip.NONE, "HISTOGRAM": ip.HISTOGRAM, "CLAHE": ip.CLAHE}.get(
+            cfg.histogram_method.upper(), ip.NONE)
+        img_j = ip.preprocess(jnp.asarray(img, jnp.float32), method)
+        pyr = tuple(fklt.build_pyramid(img_j, self.klt_opts.levels))
         fe = self.fe
 
         # 1. KLT-track previous features.
@@ -74,6 +82,27 @@ class VisionPipeline:
             pts0 = jnp.asarray(fe.uv, jnp.float32)
             p1, ok = fklt.track(fe.prev_pyr, pyr, pts0, jnp.ones(len(fe.ids), bool), self.klt_opts)
             ok = np.asarray(ok)
+
+            # 1b. Gyro-aided RANSAC outlier gate over the tracked matches.
+            if imu_t is not None and imu_w is not None and ok.sum() >= 8:
+                from ov_plane_tpu.frontend.ransac import RansacOptions, gyro_ransac, integrate_gyro
+                from ov_plane_tpu.ops import cams
+                from ov_plane_tpu.ops.quat import quat_2_rot
+
+                bg = state.imu[10:13]
+                # Integrate the entire provided window (the caller passes the
+                # inter-frame IMU segment; padding is masked by clipping).
+                R_imu = integrate_gyro(jnp.asarray(imu_t), jnp.asarray(imu_w),
+                                       -1e30, 1e30, bg)
+                R_ItoC = quat_2_rot(state.calib_cam[0:4])
+                R_cam = R_ItoC @ R_imu @ R_ItoC.T
+                zeta = state.cam_zeta
+                und = jax.vmap(lambda uv: cams.undistort(uv, zeta, self.eng.cam_model))
+                uvn_prev = und(jnp.asarray(fe.uv))
+                uvn_cur = und(p1)
+                inl, _, _ = gyro_ransac(uvn_prev, uvn_cur, jnp.asarray(ok), R_cam, RansacOptions())
+                ok = ok & np.asarray(inl)
+
             fe.ids = fe.ids[ok]
             fe.uv = np.asarray(p1)[ok]
         else:

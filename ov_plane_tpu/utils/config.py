@@ -214,6 +214,7 @@ class VioConfig:
     grid_y: int = 20
     min_px_dist: int = 15
     track_frequency: float = 21.0
+    histogram_method: str = "HISTOGRAM"  # NONE, HISTOGRAM, CLAHE
 
     # ZUPT.
     try_zupt: bool = False
@@ -289,6 +290,7 @@ _YAML_MAP = {
     "grid_y": (None, "grid_y"),
     "min_px_dist": (None, "min_px_dist"),
     "track_frequency": (None, "track_frequency"),
+    "histogram_method": (None, "histogram_method"),
     "try_zupt": (None, "try_zupt"),
     "zupt_max_velocity": (None, "zupt_max_velocity"),
     "zupt_noise_multiplier": (None, "zupt_noise_multiplier"),

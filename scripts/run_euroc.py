@@ -172,7 +172,7 @@ def main():
         seg = slice(lo, min(lo + W, len(imu_t)))
         t0 = time.perf_counter()
         img = load_image(cam_files[i])
-        obs = pipe.process_image(img, state, bank)
+        obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg])
         t1 = time.perf_counter()
         frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
         state, bank, out = step(eng, state, bank, frame)

@@ -131,3 +131,33 @@ def test_plane_tracker_clusters_two_planes():
     assert len(floor_labels) == 1, floor_labels
     assert len(wall_labels) == 1, wall_labels
     assert floor_labels != wall_labels
+
+
+def test_equalize_hist_flattens_distribution():
+    from ov_plane_tpu.frontend import imageproc as ip
+
+    rng = np.random.default_rng(5)
+    img = np.clip(rng.beta(8, 2, size=(64, 64)), 0, 1).astype(np.float32)  # skewed bright
+    out = np.asarray(ip.equalize_hist(jnp.asarray(img)))
+    assert out.shape == img.shape
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # Equalization spreads mass: the output histogram is much flatter.
+    h_in, _ = np.histogram(img, bins=16, range=(0, 1))
+    h_out, _ = np.histogram(out, bins=16, range=(0, 1))
+    assert h_out.std() < 0.5 * h_in.std()
+    # Monotone: ordering of intensities preserved.
+    a, b = img[10, 10], img[20, 20]
+    if abs(a - b) > 0.05:
+        assert (a < b) == (out[10, 10] <= out[20, 20])
+
+
+def test_clahe_improves_local_contrast():
+    from ov_plane_tpu.frontend import imageproc as ip
+
+    img = np.full((64, 64), 0.5, np.float32)
+    img[:32] = 0.48 + 0.04 * np.random.default_rng(0).random((32, 64)).astype(np.float32)
+    img[32:] = 0.9 + 0.05 * np.random.default_rng(1).random((32, 64)).astype(np.float32)
+    out = np.asarray(ip.clahe(jnp.asarray(img), tiles=4))
+    # Local contrast in the dark half increases.
+    assert out[:32].std() > img[:32].std()
+    assert np.isfinite(out).all()

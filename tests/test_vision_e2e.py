@@ -29,6 +29,7 @@ def test_vision_pipeline_tracks_and_filters():
     cfg.num_pts_plane = 0
     cfg.cam_wh = [320, 240]
     cfg.cam_intrinsics = [200.0, 200.0, 160.0, 120.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.histogram_method = "NONE"  # synthetic frames are already well-exposed
     cfg.tpu.max_features = 128
     cfg.tpu.max_obs_per_frame = 64
     cfg.tpu.max_msckf_update = 24
@@ -92,6 +93,7 @@ def test_vision_pipeline_with_plane_detection():
     cfg.num_pts_plane = 40
     cfg.cam_wh = [640, 480]
     cfg.cam_intrinsics = [300.0, 300.0, 320.0, 240.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.histogram_method = "NONE"  # synthetic frames are already well-exposed
     cfg.tpu.max_features = 128
     cfg.tpu.max_obs_per_frame = 64
     cfg.tpu.max_msckf_update = 24
