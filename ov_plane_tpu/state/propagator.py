@@ -190,7 +190,7 @@ def predict_and_compute(imu, imu_fej, dt, w1, a1, w2, a2, noises, gravity, opts:
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def propagate_mean_cov(imu, imu_fej, cov15_like_phi0, imu_t, imu_w, imu_a, t0, t1,
+def propagate_mean_cov(imu, imu_fej, imu_t, imu_w, imu_a, t0, t1,
                        noises, gravity, opts: PropagatorOptions):
     """Scan consecutive IMU sample pairs over [t0, t1]; returns
     (imu_new, imu_fej_new, Φ_total, Qd_total, last_w_hat).
@@ -251,7 +251,7 @@ def propagate_and_clone(state: VioState, imu_t, imu_w, imu_a, t_new,
     t0_imu = state.t + state.last_dt
     t1_imu = jnp.asarray(t_new, state.t.dtype) + state.calib_dt
     imu_n, fej_n, phi, qd, last_w = propagate_mean_cov(
-        state.imu, state.imu_fej, None, imu_t, imu_w, imu_a, t0_imu, t1_imu, noises, gravity, opts
+        state.imu, state.imu_fej, imu_t, imu_w, imu_a, t0_imu, t1_imu, noises, gravity, opts
     )
     cov = ekf.propagate_cov(state.cov, phi, qd)
 
@@ -291,7 +291,8 @@ def fast_state_propagate(state: VioState, imu_t, imu_w, imu_a, t_target,
     Returns (imu16, cov15) — pose/velocity for publishing between updates.
     """
     imu_n, _, phi, qd, _ = propagate_mean_cov(
-        state.imu, state.imu_fej, None, imu_t, imu_w, imu_a, state.t, t_target,
+        state.imu, state.imu_fej, imu_t, imu_w, imu_a,
+        state.t + state.last_dt, jnp.asarray(t_target, state.t.dtype) + state.calib_dt,
         noises, gravity, opts,
     )
     cov15 = phi @ state.cov[:15, :15] @ phi.T + qd

@@ -64,8 +64,6 @@ def test_point_msckf_sim_consistency(sim_and_cfg):
 
 def test_msckf_update_improves_over_dead_reckoning(sim_and_cfg):
     sim, cfg = sim_and_cfg
-    import dataclasses
-
     eng = VioEngine.from_config(cfg)
     state = init_state_with_gt(
         eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],

@@ -56,15 +56,6 @@ def ode_oracle(t0, t1, q0, p0, v0):
     return y
 
 
-def make_imu_window(t0, t1, hz=400.0, pad_to=64):
-    ts = np.arange(t0, t1 + 0.5 / hz, 1.0 / hz)
-    ws = np.stack([w_func(t) for t in ts])
-    accs = np.stack([quat2rot_np(ode_oracle(t0, t, *_init())[0:4]) for t in ts])
-    # Measured accel: a_m = R_GtoI (a_world + g). For the oracle trajectory the
-    # body-frame specific force is exactly a_func(t) by construction below.
-    return ts, ws
-
-
 def _init():
     q0 = np.array([0.1, -0.2, 0.3, 0.9])
     q0 /= np.linalg.norm(q0)
@@ -86,11 +77,11 @@ def test_rk4_mean_matches_ode_oracle():
     imu0 = jnp.asarray(np.concatenate([q0, p0, v0, np.zeros(6)]))
     opts = prop.PropagatorOptions(use_rk4=True, do_fej=False)
     imu_n, _, phi, qd, _ = prop.propagate_mean_cov(
-        imu0, imu0, None, jnp.asarray(ts), jnp.asarray(ws), jnp.asarray(accs),
+        imu0, imu0, jnp.asarray(ts), jnp.asarray(ws), jnp.asarray(accs),
         t0, t1, NOISES, jnp.asarray(GRAVITY), opts,
     )
     got = np.asarray(imu_n)
-    ref_q = y_ref[0:4] * np.sign(y_ref[3]) * np.sign(got[3]) if False else y_ref[0:4]
+    ref_q = y_ref[0:4]
     if np.dot(got[0:4], ref_q) < 0:
         ref_q = -ref_q
     # RK4 @400 Hz with the reference's intermediate quaternion renormalization:
@@ -118,7 +109,7 @@ def test_phi_matches_finite_difference():
 
     def run(imu0):
         imu_n, _, phi, _, _ = prop.propagate_mean_cov(
-            imu0, imu0, None, jnp.asarray(ts), jnp.asarray(ws), jnp.asarray(accs),
+            imu0, imu0, jnp.asarray(ts), jnp.asarray(ws), jnp.asarray(accs),
             t0, t1, NOISES, jnp.asarray(GRAVITY), opts,
         )
         return np.asarray(imu_n), np.asarray(phi)
