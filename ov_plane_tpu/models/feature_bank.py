@@ -29,6 +29,9 @@ class FeatureBank:
     planeid: jnp.ndarray   # [F] int32 current plane association (-1 none)
     is_slam: jnp.ndarray   # [F] bool feature is a SLAM landmark state
     slam_slot: jnp.ndarray  # [F] int32 slam state slot if is_slam
+    # Simulation ground truth (use_groundtruths injection, zeros otherwise).
+    gt_p: jnp.ndarray      # [F, 3] true feature position
+    gt_cp: jnp.ndarray     # [F, 3] true plane CP of the feature's plane
 
     @classmethod
     def create(cls, max_features: int, max_clones: int, dtype=jnp.float64) -> "FeatureBank":
@@ -41,6 +44,8 @@ class FeatureBank:
             planeid=jnp.full((F,), -1, jnp.int32),
             is_slam=jnp.zeros((F,), bool),
             slam_slot=jnp.full((F,), -1, jnp.int32),
+            gt_p=jnp.zeros((F, 3), dtype),
+            gt_cp=jnp.zeros((F, 3), dtype),
         )
 
     @property
@@ -66,14 +71,20 @@ def clear_clone_column(bank: FeatureBank, slot) -> FeatureBank:
 
 
 @jax.jit
-def ingest(bank: FeatureBank, ids, uv, uvn, plane, slot) -> FeatureBank:
+def ingest(bank: FeatureBank, ids, uv, uvn, plane, slot,
+           gt_p=None, gt_cp=None) -> FeatureBank:
     """Insert one frame's observations at clone slot `slot`.
 
     ids: [O] int32 (-1 padding); uv/uvn: [O, 2]; plane: [O] int32.
     Existing ids update in place (and refresh the plane association — the
     reference's plane_check_old_feats semantics); new ids claim free slots in
-    order; overflow observations are dropped.
+    order; overflow observations are dropped. Optional per-observation ground
+    truth (use_groundtruths) is stored alongside.
     """
+    if gt_p is None:
+        gt_p = jnp.zeros((ids.shape[0], 3), bank.uv.dtype)
+    if gt_cp is None:
+        gt_cp = jnp.zeros((ids.shape[0], 3), bank.uv.dtype)
     F = bank.fid.shape[0]
     O = ids.shape[0]
     valid = ids >= 0
@@ -118,8 +129,13 @@ def ingest(bank: FeatureBank, ids, uv, uvn, plane, slot) -> FeatureBank:
     uv_all = uv_all.at[row, slot].set(uv)[:F]
     uvn_all = jnp.concatenate([bank.uvn, jnp.zeros((1, K, 2), bank.uvn.dtype)])
     uvn_all = uvn_all.at[row, slot].set(uvn)[:F]
+    gt_p_all = jnp.concatenate([bank.gt_p, jnp.zeros((1, 3), bank.gt_p.dtype)])
+    gt_p_all = gt_p_all.at[row].set(jnp.where(valid[:, None], gt_p, 0.0))[:F]
+    gt_cp_all = jnp.concatenate([bank.gt_cp, jnp.zeros((1, 3), bank.gt_cp.dtype)])
+    gt_cp_all = gt_cp_all.at[row].set(jnp.where(valid[:, None], gt_cp, 0.0))[:F]
 
-    return bank.replace(fid=fid, uv=uv_all, uvn=uvn_all, mask=mask, planeid=planeid)
+    return bank.replace(fid=fid, uv=uv_all, uvn=uvn_all, mask=mask, planeid=planeid,
+                        gt_p=gt_p_all, gt_cp=gt_cp_all)
 
 
 @jax.jit

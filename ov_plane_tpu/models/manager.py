@@ -52,6 +52,9 @@ class FrameData(NamedTuple):
     obs_id: jnp.ndarray   # [O] int32 (-1 pad)
     obs_uv: jnp.ndarray   # [O, 2]
     obs_plane: jnp.ndarray  # [O] int32
+    # Optional ground-truth injection (use_groundtruths; zeros otherwise).
+    obs_gt_p: jnp.ndarray = None    # [O, 3]
+    obs_gt_cp: jnp.ndarray = None   # [O, 3]
 
 
 class StepOutput(NamedTuple):
@@ -97,6 +100,7 @@ class VioEngine:
     use_planes: bool
     try_zupt: bool = False
     zupt_opts: "ZuptOptions" = None
+    use_groundtruths: bool = False
 
     @classmethod
     def from_config(cls, cfg: VioConfig) -> "VioEngine":
@@ -198,6 +202,7 @@ class VioEngine:
             max_slam=cfg.state.max_slam_features,
             dt_slam_delay=2.0,
             use_slam=cfg.state.max_slam_features > 0,
+            use_groundtruths=cfg.state.use_groundtruths,
             use_planes=cfg.state.use_plane_constraint and cfg.state.use_plane_slam_feats,
         )
 
@@ -330,7 +335,8 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     zeta = state.cam_zeta
     uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(frame.obs_uv)
     bank = fb.clear_clone_column(bank, new_slot)
-    bank = fb.ingest(bank, frame.obs_id, frame.obs_uv, uvn, frame.obs_plane, new_slot)
+    bank = fb.ingest(bank, frame.obs_id, frame.obs_uv, uvn, frame.obs_plane, new_slot,
+                     gt_p=frame.obs_gt_p, gt_cp=frame.obs_gt_cp)
 
     # 3. Triage (masked off until enough clones, VioManager.cpp:355).
     can_update = state.num_clones >= eng.min_clones_to_update
@@ -380,9 +386,17 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     sel_cp_fej = state.plane_cp_fej[p_slot]
     has_plane = p_in_state  # only in-state planes use rows in this path
 
+    sel_gt_p = bank.gt_p[sel_idx]
+    if eng.use_groundtruths:
+        # Substitute true plane CPs for on-plane features not in the state
+        # (UpdaterMSCKF.cpp:284-302 gt injection).
+        sel_cp = jnp.where(has_plane[:, None], bank.gt_cp[sel_idx], sel_cp)
+        sel_cp_fej = sel_cp
+        has_plane = (sel_pid >= 0)
     new_state, used, _, _ = msckf_update(
         state, eng.msckf_opts, sel_uv, sel_uvn, sel_mask,
         sel_cp, sel_cp_fej, has_plane, p_in_state, p_slot,
+        gt_p=sel_gt_p if eng.use_groundtruths else None,
     )
     state = new_state
 
@@ -452,6 +466,7 @@ def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data
         frame = FrameData(
             imu_t=imu_t, imu_w=imu_w, imu_a=imu_a, t_new=sim_data.cam_t[i],
             obs_id=sim_data.obs_id[i], obs_uv=sim_data.obs_uv[i], obs_plane=sim_data.obs_plane[i],
+            obs_gt_p=sim_data.obs_gt_p[i], obs_gt_cp=sim_data.obs_gt_cp[i],
         )
         st, bk, out = step(eng, st, bk, frame)
         return (st, bk), out

@@ -55,6 +55,7 @@ def msckf_update(
     sel_has_plane,   # [M] bool: apply point-on-plane rows
     sel_plane_in_state,  # [M] bool
     sel_plane_slot,  # [M] int32
+    gt_p=None,       # [M, 3] true feature positions (use_groundtruths)
 ):
     """Returns (new_state, used[M] bool, p_FinG[M,3], tri_ok[M])."""
     lay = state.layout
@@ -69,6 +70,13 @@ def msckf_update(
     clones = clone_set_from_state(state)
     # Triangulate from current estimates (UpdaterMSCKF.cpp:123-194).
     p_f, tri_ok = triangulate(sel_uvn, sel_mask, clones.R_GtoC, clones.p_CinG, opts.tri)
+    if gt_p is not None:
+        # Ground-truth injection (UpdaterMSCKF.cpp:284-302): replace the
+        # triangulated positions with the simulator's truth; the triangulation
+        # gate is bypassed for features with a nonzero truth.
+        has_gt = jnp.any(gt_p != 0.0, axis=1)
+        p_f = jnp.where(has_gt[:, None], gt_p, p_f)
+        tri_ok = tri_ok | has_gt
 
     # Stacked Jacobians per feature; FEJ feature value = triangulated value
     # (UpdaterMSCKF sets p_FinG_fej = p_FinG for fresh triangulations).

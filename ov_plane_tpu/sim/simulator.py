@@ -63,6 +63,8 @@ class SimData(NamedTuple):
     obs_uv: jnp.ndarray      # [Tc, O, 2] distorted pixels (noisy)
     obs_uv_true: jnp.ndarray # [Tc, O, 2] noiseless pixels
     obs_plane: jnp.ndarray   # [Tc, O] int32, -1 = free point
+    obs_gt_p: jnp.ndarray    # [Tc, O, 3] true feature positions (gt injection)
+    obs_gt_cp: jnp.ndarray   # [Tc, O, 3] true plane CPs (zeros for free points)
     imu_window_start: jnp.ndarray  # [Tc] int32: first imu index ≥ previous frame
     # Ground truth at camera times.
     gt_q: jnp.ndarray        # [Tc, 4] JPL q_GtoI
@@ -381,6 +383,14 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
     win_start = np.searchsorted(imu_t, prev_t - 1e-9) - 9
     win_start = np.clip(win_start, 0, None).astype(np.int32)
 
+    # Per-observation ground truth for use_groundtruths injection.
+    fp_pad = jnp.concatenate([fp, jnp.zeros((1, 3), dtype)])
+    obs_idx = jnp.where(obs_id >= 0, obs_id, fp.shape[0])
+    obs_gt_p = fp_pad[obs_idx]
+    cp_pad = jnp.concatenate([jnp.asarray(planes.cp, dtype), jnp.zeros((1, 3), dtype)])
+    obs_cp_idx = jnp.where(obs_plane >= 0, obs_plane, planes.cp.shape[0])
+    obs_gt_cp = cp_pad[obs_cp_idx]
+
     zeros_i = jnp.zeros((len(imu_t), 3), dtype)
     zeros_c = jnp.zeros((n_c, 3), dtype)
     truth = SimData(
@@ -388,6 +398,7 @@ def build_sim(cfg: VioConfig, max_obs: int | None = None, dtype=jnp.float64) -> 
         gt_bg=zeros_i, gt_ba=zeros_i,
         cam_t=tc - cfg.calib_camimu_dt, cam_t_imu=tc,
         obs_id=obs_id, obs_uv=obs_uv_true, obs_uv_true=obs_uv_true, obs_plane=obs_plane,
+        obs_gt_p=obs_gt_p, obs_gt_cp=obs_gt_cp,
         imu_window_start=jnp.asarray(win_start),
         gt_q=gt_q, gt_p=p_c, gt_v=v_c, gt_bg_cam=zeros_c, gt_ba_cam=zeros_c,
         feat_p=fp, feat_plane=fplane, plane_cp=jnp.asarray(planes.cp, dtype),

@@ -66,3 +66,16 @@ def test_plane_vio_beats_point_only(sim):
     for cp in cp_est:
         dists = np.linalg.norm(cp_true - cp, axis=1)
         assert dists.min() < 0.10, (cp, cp_true)
+
+
+def test_use_groundtruths_injection(sim):
+    """Ground-truth injection (the reference's estimator-isolation lever,
+    UpdaterMSCKF.cpp:284-302) runs the filter on true feature/plane values:
+    it must stay accurate and consistent — validating the EKF machinery
+    independently of triangulation/plane-fit errors (SURVEY.md §4)."""
+    cfg_gt = _cfg(True)
+    cfg_gt.state.use_groundtruths = True
+    _, _, m_gt = _run(cfg_gt, sim)
+    assert m_gt["rmse_pos"] < 0.05, m_gt
+    assert m_gt["rmse_ori_deg"] < 1.0, m_gt
+    assert 0.01 < m_gt["nees_ori"] < 12.0, m_gt
