@@ -1,0 +1,185 @@
+"""Dynamic (in-motion) initialization.
+
+Equivalent of ov_init's ``DynamicInitializer`` linear stage (SURVEY.md §2.3):
+with the platform moving, solve the closed-form linear system over a short
+window for initial velocity, gravity direction, and feature positions
+(Dong-Si & Mourikis / Martinelli construction), using zero-bias IMU
+preintegration between the window's camera poses:
+
+    p_k^{I0} = v0·Δt_k − ½ g^{I0} Δt_k² + α_k                (preintegrals α)
+    feature f at pose k:  ⌊b̃_{f,k}⌋ (p_f − c_k^{I0}) = 0     (bearing cross)
+
+Unknowns x = [v0 (3), g^{I0} (3), p_f (3F)]; everything is linear, solved via
+normal equations + Cholesky (TPU-safe). Gravity magnitude serves as the
+quality gate (|‖g‖ − 9.81| small ⇒ the solution is geometrically coherent);
+the global frame is then defined by rotating gravity onto +z (Gram-Schmidt,
+yaw free). The reference additionally runs an MLE refinement
+(init_dyn_mle_*); the EKF itself refines quickly from this seed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ov_plane_tpu.ops.quat import exp_so3, rot_2_quat, skew
+
+
+class DynInitOptions(NamedTuple):
+    num_pose: int = 6            # camera poses used (init_dyn_num_pose)
+    max_feats: int = 16          # features used in the linear system
+    min_deg: float = 15.0        # required orientation change (init_dyn_min_deg)
+    gravity_mag: float = 9.81
+    max_gravity_err: float = 0.5  # |‖g‖ − g₀| acceptance gate (m/s²)
+    inflation_ori: float = 10.0
+    inflation_vel: float = 100.0
+    inflation_bg: float = 10.0
+    inflation_ba: float = 100.0
+
+
+def _preintegrate(imu_t, imu_w, imu_a, t_poses):
+    """Zero-bias preintegration from t_poses[0] to each pose time.
+
+    Returns (R_0k [P,3,3] with R_I0toIk, alpha [P,3], beta [P,3], dt [P]).
+    Masked scan over the IMU samples; pose boundaries interpolated by clipping.
+    """
+    P = t_poses.shape[0]
+    t0 = t_poses[0]
+
+    def body(carry, xs):
+        R, beta, alpha, t_prev = carry
+        ta_r, tb_r, w, a = xs
+        ta = jnp.maximum(ta_r, t0)
+        tb = tb_r
+        dt = jnp.where((tb > ta) & jnp.isfinite(tb - ta), tb - ta, 0.0)
+        # R_I0toIk chaining: R_{k+1} = exp(-w dt) R_k ; integrals in I0 frame.
+        a_I0 = R.T @ a
+        alpha_n = alpha + beta * dt + 0.5 * a_I0 * dt * dt
+        beta_n = beta + a_I0 * dt
+        R_n = exp_so3(-w * dt) @ R
+        return (R_n, beta_n, alpha_n, tb), (R_n, beta_n, alpha_n, tb)
+
+    init = (jnp.eye(3, dtype=imu_w.dtype), jnp.zeros(3, imu_w.dtype), jnp.zeros(3, imu_w.dtype), t0)
+    _, (R_all, beta_all, alpha_all, t_all) = jax.lax.scan(
+        body, init, (imu_t[:-1], imu_t[1:], imu_w[:-1], imu_a[:-1])
+    )
+
+    # Sample the preintegrals at each pose time, interpolating the fractional
+    # last interval (IMU samples don't land exactly on camera times).
+    def at_time(tp):
+        # R_all[j]/alpha_all[j] hold integrals up to imu_t[j+1].
+        j = jnp.clip(jnp.searchsorted(imu_t, tp) - 2, 0, R_all.shape[0] - 1)
+        t_base = imu_t[j + 1]
+        delta = jnp.clip(tp - t_base, 0.0, None)
+        R_j, beta_j, alpha_j = R_all[j], beta_all[j], alpha_all[j]
+        w_next = imu_w[jnp.clip(j + 1, 0, imu_w.shape[0] - 1)]
+        a_next = imu_a[jnp.clip(j + 1, 0, imu_a.shape[0] - 1)]
+        a_I0 = R_j.T @ a_next
+        alpha_p = alpha_j + beta_j * delta + 0.5 * a_I0 * delta * delta
+        beta_p = beta_j + a_I0 * delta
+        R_p = exp_so3(-w_next * delta) @ R_j
+        return R_p, beta_p, alpha_p
+
+    R_0k, beta_k, alpha_k = jax.vmap(at_time)(t_poses)
+    dt_k = t_poses - t0
+    # Pose 0 exact identities.
+    R_0k = R_0k.at[0].set(jnp.eye(3, dtype=imu_w.dtype))
+    alpha_k = alpha_k.at[0].set(0.0)
+    beta_k = beta_k.at[0].set(0.0)
+    return R_0k, alpha_k, beta_k, dt_k
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def dynamic_initialize(imu_t, imu_w, imu_a, t_poses, uvn, obs_mask,
+                       R_ItoC, p_IinC, opts: DynInitOptions):
+    """Solve the linear dynamic-init system.
+
+    imu_t/w/a: window IMU samples (padded with +inf times);
+    t_poses: [P] camera times (ascending, within the IMU window);
+    uvn: [P, F, 2] normalized observations of F candidate features;
+    obs_mask: [P, F]; (R_ItoC, p_IinC): camera extrinsics.
+
+    Returns (ok, q_GtoI0, v0_G, g_err, p_f_G [F, 3], feat_ok [F]).
+    """
+    dtype = uvn.dtype
+    P, F = uvn.shape[0], uvn.shape[1]
+    R_0k, alpha_k, beta_k, dt_k = _preintegrate(imu_t, imu_w, imu_a, t_poses)
+
+    # Orientation-change gate (init_dyn_min_deg).
+    ang = jnp.degrees(jnp.arccos(jnp.clip(0.5 * (jnp.trace(R_0k[-1]) - 1.0), -1.0, 1.0)))
+    enough_rot = ang >= opts.min_deg
+
+    # Bearings + camera centers in the I0 frame: R_c = R_{Ik→I0} R_{C→I}.
+    bear_c = jnp.concatenate([uvn, jnp.ones((P, F, 1), dtype)], axis=2)
+    R_c = jnp.swapaxes(R_0k, 1, 2) @ R_ItoC.T            # R_0kᵀ R_ItoCᵀ : [P, 3, 3]
+    b_I0 = jnp.einsum("kij,kfj->kfi", R_c, bear_c)       # [P, F, 3]
+    cam_off = -jnp.einsum("kij,j->ki", R_c, p_IinC)      # [P, 3]
+
+    # Rows: ⌊b̃⌋ p_f − ⌊b̃⌋ v0·Δt + ½⌊b̃⌋ g·Δt² = ⌊b̃⌋(α_k + cam_off_k)
+    # Unknown layout: [v0(0:3) | g(3:6) | p_f (6+3f)].
+    n_unk = 6 + 3 * F
+    Bx = skew(b_I0.reshape(P * F, 3)).reshape(P, F, 3, 3)
+    m = obs_mask[..., None, None].astype(dtype)
+    A_v = -Bx * dt_k[:, None, None, None] * m                       # [P, F, 3, 3]
+    A_g = 0.5 * Bx * (dt_k**2)[:, None, None, None] * m
+    A_f = Bx * m
+    rhs = jnp.einsum("kfij,kj->kfi", Bx * m, alpha_k + cam_off)     # [P, F, 3]
+
+    # Normal equations assembled blockwise (n_unk ≤ 6 + 3·16 = 54).
+    rows_v = A_v.reshape(P * F * 3, 3)
+    rows_g = A_g.reshape(P * F * 3, 3)
+    rows_r = rhs.reshape(P * F * 3)
+    # Feature blocks: A_f only touches its own columns.
+    A_vg = jnp.concatenate([rows_v, rows_g], axis=1)                # [R, 6]
+    AtA = jnp.zeros((n_unk, n_unk), dtype)
+    Atb = jnp.zeros((n_unk,), dtype)
+    AtA = AtA.at[0:6, 0:6].set(A_vg.T @ A_vg)
+    Atb = Atb.at[0:6].set(A_vg.T @ rows_r)
+    Af = A_f.reshape(P, F, 3, 3)
+    for_f_vg = jnp.einsum("kfab,kfac->fbc", Af, A_vg.reshape(P, F, 3, 6))  # [F, 3, 6]
+    for_f_ff = jnp.einsum("kfab,kfac->fbc", Af, Af)                        # [F, 3, 3]
+    for_f_r = jnp.einsum("kfab,kfa->fb", Af, rhs)                          # [F, 3]
+    for i in range(F):
+        c = 6 + 3 * i
+        AtA = AtA.at[c:c + 3, 0:6].set(for_f_vg[i])
+        AtA = AtA.at[0:6, c:c + 3].set(for_f_vg[i].T)
+        AtA = AtA.at[c:c + 3, c:c + 3].set(for_f_ff[i])
+        Atb = Atb.at[c:c + 3].set(for_f_r[i])
+
+    # Regularize unobserved feature blocks so the factorization stays PSD.
+    feat_rows = jnp.sum(obs_mask, axis=0)                            # [F]
+    feat_ok = feat_rows >= 3
+    reg = jnp.zeros((n_unk,), dtype)
+    for i in range(F):
+        reg = reg.at[6 + 3 * i:9 + 3 * i].set(jnp.where(feat_ok[i], 1e-9, 1.0))
+    AtA = AtA + jnp.diag(reg + 1e-9)
+
+    L = jnp.linalg.cholesky(AtA)
+    sol = jax.scipy.linalg.cho_solve((L, True), Atb)
+    solved = jnp.all(jnp.isfinite(sol))
+
+    v0_I0 = sol[0:3]
+    g_I0 = sol[3:6]
+    p_f_I0 = sol[6:].reshape(F, 3)
+
+    g_norm = jnp.linalg.norm(g_I0)
+    g_err = jnp.abs(g_norm - opts.gravity_mag)
+    ok = enough_rot & solved & (g_err < opts.max_gravity_err) & (jnp.sum(feat_ok) >= 5)
+
+    # Global frame: gravity onto +z. A stationary/world-frame convention with
+    # a_measured = R(g + a_w): here g_I0 is the gravity REACTION (the solved g
+    # makes p̈ = v̇ − g...), so R_GtoI0 maps [0,0,g₀] to g_I0 direction.
+    z_I = g_I0 / jnp.maximum(g_norm, 1e-9)
+    e1 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    x_I = e1 - z_I * (z_I @ e1)
+    x_I = x_I / jnp.maximum(jnp.linalg.norm(x_I), 1e-9)
+    y_I = jnp.cross(z_I, x_I)
+    R_GtoI0 = jnp.stack([x_I, y_I, z_I], axis=1)
+    q_GtoI0 = rot_2_quat(R_GtoI0)
+
+    v0_G = R_GtoI0.T @ v0_I0
+    p_f_G = jnp.einsum("ij,fj->fi", R_GtoI0.T, p_f_I0)
+    return ok, q_GtoI0, v0_G, g_err, p_f_G, feat_ok

@@ -55,6 +55,9 @@ class FrameData(NamedTuple):
     # Optional ground-truth injection (use_groundtruths; zeros otherwise).
     obs_gt_p: jnp.ndarray = None    # [O, 3]
     obs_gt_cp: jnp.ndarray = None   # [O, 3]
+    # Optional frame validity (False = padding frame in a batched replay of
+    # different-length sequences; the step becomes an identity).
+    valid: jnp.ndarray = None       # scalar bool
 
 
 class StepOutput(NamedTuple):
@@ -295,6 +298,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     from ov_plane_tpu.models.plane_init import marginalize_unseen_planes, plane_delayed_init
     from ov_plane_tpu.models.slam import marginalize_lost_slam, slam_delayed_init, slam_update
 
+    state_in, bank_in = state, bank
     lay = eng.layout
     dtype = state.imu.dtype
     noises = jnp.asarray([eng.sigma_w2, eng.sigma_a2, eng.sigma_wb2, eng.sigma_ab2], dtype)
@@ -431,6 +435,12 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         state = jax.tree.map(lambda a, b: jnp.where(zupt_accepted, a, b), state_zupt, state)
         bank = jax.tree.map(lambda a, b: jnp.where(zupt_accepted, a, b), bank_zupt, bank)
         used = used & ~zupt_accepted
+
+    # 12. Padding-frame select: identity when the frame is invalid.
+    if frame.valid is not None:
+        state = jax.tree.map(lambda a, b: jnp.where(frame.valid, a, b), state, state_in)
+        bank = jax.tree.map(lambda a, b: jnp.where(frame.valid, a, b), bank, bank_in)
+        used = used & frame.valid
 
     out = StepOutput(
         t=state.t, q=state.imu[0:4], p=state.imu[4:7], v=state.imu[7:10],
