@@ -155,6 +155,65 @@ def main():
                 print(f"[euroc] static init at t={t:.3f}")
                 break
     if state is None:
+        # Dynamic initialization: the platform starts in motion. Track
+        # features over a 2 s window and solve the linear system.
+        from ov_plane_tpu.models.dyn_init import DynInitOptions, dynamic_initialize
+        from ov_plane_tpu.ops import cams as _cams
+        from ov_plane_tpu.ops.quat import quat_2_rot as _q2r
+
+        print("[euroc] static init failed; trying dynamic init", file=sys.stderr)
+        win = {}
+        zeta = jnp.asarray(cfg.cam_intrinsics)
+        R_ItoC = _q2r(jnp.asarray(cfg.cam_extrinsics[0:4]))
+        for i, t in enumerate(cam_t):
+            img = load_image(cam_files[i])
+            obs = pipe.process_image(img, state if state is not None else init_state_with_gt(
+                eng, cfg, t0=t, q0=jnp.asarray([0.0, 0, 0, 1]), p0=jnp.zeros(3), v0=jnp.zeros(3),
+                bg0=jnp.zeros(3), ba0=jnp.zeros(3)), bank)
+            oid, ouv, _ = obs
+            win[i] = (t, np.asarray(oid), np.asarray(ouv))
+            keys = sorted(win)
+            # Drop outside 2.2 s.
+            while win and win[keys[0]][0] < t - 2.2:
+                win.pop(keys[0]); keys = sorted(win)
+            if len(win) < 12 or (t - win[keys[0]][0]) < 1.8:
+                continue
+            # 6 poses evenly spread.
+            sel = [keys[int(r)] for r in np.linspace(0, len(keys) - 1, 6)]
+            tp = np.asarray([win[s_][0] for s_ in sel])
+            common = set(win[sel[0]][1][win[sel[0]][1] >= 0])
+            for s_ in sel[1:]:
+                common &= set(win[s_][1][win[s_][1] >= 0])
+            common = sorted(common)[:16]
+            if len(common) < 8:
+                continue
+            F = len(common)
+            uvn = np.zeros((6, F, 2)); mk = np.zeros((6, F), bool)
+            for a, s_ in enumerate(sel):
+                tt, oid, ouv = win[s_]
+                for fi, fid in enumerate(common):
+                    j = np.nonzero(oid == fid)[0]
+                    if len(j):
+                        uvn[a, fi] = np.asarray(_cams.undistort(jnp.asarray(ouv[j[0]]), zeta, eng.cam_model))
+                        mk[a, fi] = True
+            lo2 = np.searchsorted(imu_t, tp[0]) - 2
+            hi2 = np.searchsorted(imu_t, tp[-1]) + 3
+            ok, q0_, v0_, g_err, _, _ = dynamic_initialize(
+                jnp.asarray(imu_t[lo2:hi2]), jnp.asarray(imu_w[lo2:hi2]), jnp.asarray(imu_a[lo2:hi2]),
+                jnp.asarray(tp), jnp.asarray(uvn), jnp.asarray(mk),
+                R_ItoC, jnp.asarray(cfg.cam_extrinsics[4:7]),
+                DynInitOptions(min_deg=5.0),
+            )
+            if bool(ok):
+                state = init_state_with_gt(eng, cfg, t0=t, q0=q0_, p0=jnp.zeros(3), v0=v0_,
+                                           bg0=jnp.zeros(3), ba0=jnp.zeros(3))
+                start_idx = i + 1
+                # Reset the tracking state for the filtered run.
+                pipe.fe.prev_pyr = None
+                bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+                print(f"[euroc] dynamic init at t={t:.3f} (|g| err {float(g_err):.2f})")
+                break
+    if state is None:
         print("[euroc] initialization failed", file=sys.stderr)
         sys.exit(1)
 
