@@ -13,6 +13,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Allow a CPU backend next to the accelerator for the sim build (see bench.py).
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+os.environ.setdefault("OVP_DISABLE_PALLAS", "1")
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
@@ -52,7 +58,15 @@ def main():
     cfg.tpu.max_msckf_update = 40
 
     print("[mc] building sim truth...", flush=True)
-    sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
+    accel = jax.devices()[0]
+    use_f32 = accel.platform not in ("cpu",)
+    if use_f32:
+        cfg.tpu.use_info_compression = True
+        sim = jax.tree.map(lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, sim)
+    sim = jax.device_put(sim, accel)
     noise = NoiseParams(
         sigma_w=cfg.imu_noises.sigma_w, sigma_a=cfg.imu_noises.sigma_a,
         sigma_wb=cfg.imu_noises.sigma_wb, sigma_ab=cfg.imu_noises.sigma_ab,
@@ -60,13 +74,15 @@ def main():
     )
     eng = VioEngine.from_config(cfg)
 
+    dt = jnp.float32 if use_f32 else jnp.float64
+
     def one_seed(key):
         sim_k = apply_noise(sim, key, noise)
         state = init_state_with_gt(
             eng, cfg, t0=sim_k.cam_t_imu[0], q0=sim_k.gt_q[0], p0=sim_k.gt_p[0],
-            v0=sim_k.gt_v[0], bg0=sim_k.gt_bg_cam[0], ba0=sim_k.gt_ba_cam[0],
+            v0=sim_k.gt_v[0], bg0=sim_k.gt_bg_cam[0], ba0=sim_k.gt_ba_cam[0], dtype=dt,
         )
-        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
         _, _, outs = run_sequence(eng, state, bank, sim_k, imu_window=cfg.tpu.max_imu_per_frame)
         m = rmse_nees(outs.q, outs.p, outs.cov_diag_imu[:, 0:3], outs.cov_diag_imu[:, 3:6],
                       sim.gt_q[1:], sim.gt_p[1:])

@@ -13,8 +13,6 @@ the whole ingest is inside the jitted frame step.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ov_plane_tpu.models.jacobians import CloneSet, JacobianOptions, clone_set_from_state, feature_jacobian_full
+from ov_plane_tpu.models.jacobians import JacobianOptions, clone_set_from_state, feature_jacobian_full
 from ov_plane_tpu.ops import ekf
 from ov_plane_tpu.ops.triangulation import TriangulationOptions, triangulate
 from ov_plane_tpu.state.vio_state import VioState

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ov_plane_tpu.ops.quat import quat_multiply, quat_norm
-from ov_plane_tpu.state.layout import StateLayout
 from ov_plane_tpu.state.vio_state import VioState
 
 

@@ -12,8 +12,6 @@ estimate, mirroring the reference's per-Type fej values.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import struct
