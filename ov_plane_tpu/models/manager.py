@@ -159,6 +159,7 @@ class VioEngine:
             plane_init_max_cond=cfg.state.plane_init_max_cond,
             max_msckf_plane=cfg.state.max_msckf_plane,
             use_refine_plane_feat=cfg.state.use_refine_plane_feat,
+            use_ransac=cfg.state.use_plane_ransac,
         )
         pmo = PlaneMsckfOptions(
             base=po,

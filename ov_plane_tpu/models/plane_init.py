@@ -31,7 +31,13 @@ import jax.numpy as jnp
 from ov_plane_tpu.models import feature_bank as fb
 from ov_plane_tpu.models.jacobians import JacobianOptions, clone_set_from_state, feature_jacobian_full
 from ov_plane_tpu.ops import ekf
-from ov_plane_tpu.ops.planefit import PlaneRefineOptions, fit_plane_lsq, refine_plane_joint
+from ov_plane_tpu.ops.planefit import (
+    PlaneRansacOptions,
+    PlaneRefineOptions,
+    fit_plane_lsq,
+    plane_ransac,
+    refine_plane_joint,
+)
 from ov_plane_tpu.ops.triangulation import TriangulationOptions, triangulate
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.chi2 import CHI2_095_TABLE
@@ -50,6 +56,10 @@ class PlaneInitOptions(NamedTuple):
     max_msckf_plane: int = 20
     max_inits_per_frame: int = 2
     use_refine_plane_feat: bool = True
+    # RANSAC hypothesis search before the joint refine (PlaneFitting::plane_fitting
+    # :83-195). Off for the noise-free simulator; on for the vision pipeline.
+    use_ransac: bool = False
+    ransac: PlaneRansacOptions = PlaneRansacOptions()
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -104,6 +114,13 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         masks = masks & fvalid[:, None]
 
         # Plane fit + joint refine (PlaneFitting::plane_fitting + optimize_plane).
+        if opts.use_ransac:
+            # Deterministic per-candidate key (reference seeds its mt19937 with
+            # a constant; we fold in the plane id for hypothesis diversity).
+            rkey = jax.random.fold_in(jax.random.PRNGKey(8888), plane)
+            cp_r, inl, r_ok = plane_ransac(p_f, fvalid, rkey, opts.ransac)
+            fvalid = jnp.where(r_ok, fvalid & inl, fvalid)
+            masks = masks & fvalid[:, None]
         cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
         valid = valid & fit_ok & (cond <= opts.plane_init_max_cond) & (jnp.sum(fvalid) >= opts.plane_init_min_feat)
         if opts.use_refine_plane_feat:

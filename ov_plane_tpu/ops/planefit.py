@@ -30,6 +30,14 @@ from ov_plane_tpu.ops.ekf import inv3
 from ov_plane_tpu.ops.triangulation import eigvals_sym3
 
 
+class PlaneRansacOptions(NamedTuple):
+    num_hyps: int = 64
+    sample_size: int = 5
+    inlier_thresh: float = 0.05      # |n·p − d| in meters
+    min_inlier_ratio: float = 0.80   # accept gate (inliers / valid points)
+    min_spacing: float = 0.10        # min pairwise distance within a sample
+
+
 class PlaneRefineOptions(NamedTuple):
     iters: int = 10
     lam_init: float = 1e-4
@@ -57,6 +65,55 @@ def fit_plane_lsq(points, mask):
     # Plane x·p + 1 = 0  →  n = −x/‖x‖, d = 1/‖x‖, cp = n·d = −x/‖x‖².
     cp = -x / jnp.maximum(norm_x**2, 1e-18)
     return cp, cond, ok
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def plane_ransac(points, mask, key, opts: PlaneRansacOptions):
+    """Robust plane fit by batched hypothesis search.
+
+    Re-design of the reference's sequential 5-point RANSAC
+    (PlaneFitting::plane_fitting, track_plane/PlaneFitting.cpp:83-195:
+    min-spacing sample rejection, point-to-plane inlier count, inlier-ratio
+    acceptance, final refit on the consensus set). Instead of an early-exit
+    loop, ALL ``num_hyps`` hypotheses are drawn and scored as one vmap —
+    the TPU-shaped equivalent (fixed trip count, masked validity).
+
+    points [N,3]; mask [N] valid flags; key: PRNG key (hypothesis sampling is
+    deterministic given the key, mirroring the reference's fixed seed).
+    Returns (cp[3], inliers[N] bool, ok).
+    """
+    dtype = points.dtype
+    N = points.shape[0]
+    S = opts.sample_size
+    n_valid = jnp.sum(mask)
+
+    def one_hyp(k):
+        # S distinct valid indices: top-k of random scores, invalid rows sunk.
+        scores = jnp.where(mask, jax.random.uniform(k, (N,), dtype), -jnp.inf)
+        _, idx = jax.lax.top_k(scores, S)
+        pts = points[idx]
+        # Min-spacing rejection (reference re-draws; we mask the hypothesis).
+        d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        d2 = d2 + jnp.eye(S, dtype=dtype) * 1e9
+        spaced = jnp.min(d2) > opts.min_spacing**2
+        cp, _, fit_ok = fit_plane_lsq(pts, jnp.ones((S,), bool))
+        d = jnp.maximum(jnp.linalg.norm(cp), 1e-9)
+        n = cp / d
+        dist = jnp.abs(points @ n - d)
+        inl = (dist < opts.inlier_thresh) & mask
+        cnt = jnp.sum(inl)
+        hyp_ok = spaced & fit_ok & (n_valid >= S)
+        return jnp.where(hyp_ok, cnt, -1), inl
+
+    keys = jax.random.split(key, opts.num_hyps)
+    counts, inls = jax.vmap(one_hyp)(keys)
+    best = jnp.argmax(counts)
+    inliers = inls[best]
+    n_inl = counts[best]
+    ok = (n_inl.astype(dtype) >= opts.min_inlier_ratio * jnp.maximum(n_valid, 1).astype(dtype)) & (n_inl >= S)
+    # Final consensus refit (reference refits abcd on the inlier set).
+    cp, _, refit_ok = fit_plane_lsq(points, inliers)
+    return cp, inliers, ok & refit_ok
 
 
 def _reproj_system(p, uvn, mask, R_GtoC, p_CinG, white_px):

@@ -50,6 +50,7 @@ class StateOptions:
     use_plane_constraint_slamd: bool = True
     use_plane_slam_feats: bool = True
     use_refine_plane_feat: bool = True
+    use_plane_ransac: bool = False
     use_groundtruths: bool = False
     sigma_constraint: float = 0.05
     const_init_multi: float = 5.0
@@ -253,6 +254,7 @@ _YAML_MAP = {
     "use_plane_constraint_slamd": ("state", "use_plane_constraint_slamd"),
     "use_plane_slam_feats": ("state", "use_plane_slam_feats"),
     "use_refine_plane_feat": ("state", "use_refine_plane_feat"),
+    "use_plane_ransac": ("state", "use_plane_ransac"),
     "use_groundtruths": ("state", "use_groundtruths"),
     "sigma_constraint": ("state", "sigma_constraint"),
     "const_init_multi": ("state", "const_init_multi"),

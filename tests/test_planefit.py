@@ -111,3 +111,50 @@ def test_refine_point_on_plane_projects():
     np.testing.assert_allclose(np.asarray(p), p_true, atol=1e-4)
     # Residual to the plane should be tiny.
     assert abs(float(p[2]) - 2.0) < 1e-3
+
+
+def test_plane_ransac_rejects_outliers():
+    """RANSAC recovers the plane despite 20% gross outliers that bias plain
+    LSQ (PlaneFitting::plane_fitting parity, PlaneFitting.cpp:83-195)."""
+    from ov_plane_tpu.ops.planefit import PlaneRansacOptions, plane_ransac
+
+    rng = np.random.default_rng(42)
+    cp_true = np.array([0.3, -0.8, 1.7])
+    inl = make_plane_points(40, cp_true, noise=0.005, rng=rng)
+    out = rng.uniform(-3, 3, size=(10, 3)) + np.array([0, 0, 5.0])
+    pts = np.vstack([inl, out])
+    mask = np.ones(50, bool)
+
+    opts = PlaneRansacOptions(num_hyps=64, inlier_thresh=0.03, min_inlier_ratio=0.5)
+    cp, inliers, ok = plane_ransac(jnp.asarray(pts), jnp.asarray(mask), jax.random.PRNGKey(0), opts)
+    assert bool(ok)
+    inliers = np.asarray(inliers)
+    # All true outliers rejected, most true inliers kept.
+    assert not inliers[40:].any()
+    assert inliers[:40].sum() >= 35
+    np.testing.assert_allclose(np.asarray(cp), cp_true, atol=0.02)
+
+    # Plain LSQ on the same contaminated set is visibly biased.
+    cp_lsq, _, _ = fit_plane_lsq(jnp.asarray(pts), jnp.asarray(mask))
+    assert np.linalg.norm(np.asarray(cp_lsq) - cp_true) > 0.05
+
+
+def test_plane_ransac_masked_and_degenerate():
+    """Invalid rows are never sampled; too-few points → ok=False."""
+    from ov_plane_tpu.ops.planefit import PlaneRansacOptions, plane_ransac
+
+    rng = np.random.default_rng(43)
+    cp_true = np.array([0.0, 0.0, 2.0])
+    pts = np.vstack([make_plane_points(20, cp_true, rng=rng), rng.normal(size=(30, 3)) * 50])
+    mask = np.concatenate([np.ones(20, bool), np.zeros(30, bool)])
+    opts = PlaneRansacOptions(num_hyps=32, inlier_thresh=0.02)
+    cp, inliers, ok = plane_ransac(jnp.asarray(pts), jnp.asarray(mask), jax.random.PRNGKey(1), opts)
+    assert bool(ok)
+    assert not np.asarray(inliers)[20:].any()
+    np.testing.assert_allclose(np.asarray(cp), cp_true, atol=1e-6)
+
+    # Fewer valid points than the sample size: rejected.
+    mask3 = np.zeros(50, bool)
+    mask3[:3] = True
+    _, _, ok3 = plane_ransac(jnp.asarray(pts), jnp.asarray(mask3), jax.random.PRNGKey(2), opts)
+    assert not bool(ok3)
