@@ -113,6 +113,25 @@ class VioEngine:
         from ov_plane_tpu.models.zupt import ZuptOptions
         from ov_plane_tpu.ops.planefit import PlaneRefineOptions
 
+        # Landmark representation validation (reference behavior: all shipped
+        # configs pin GLOBAL_3D, and VioManager.cpp:823,839 asserts SLAM
+        # features are GLOBAL_3D whenever planes are enabled). The five other
+        # parameterizations live in ops/representations.py with validated
+        # Jacobians; the filter state itself runs GLOBAL_3D.
+        from ov_plane_tpu.ops import representations as reps
+
+        rep_msckf = reps.from_name(cfg.state.feat_rep_msckf)  # raises on unknown name
+        rep_slam = reps.from_name(cfg.state.feat_rep_slam)
+        if cfg.state.use_plane_constraint and rep_slam != reps.GLOBAL_3D:
+            raise ValueError(
+                "feat_rep_slam must be GLOBAL_3D when plane constraints are on "
+                "(reference asserts this, VioManager.cpp:823)")
+        if rep_msckf != reps.GLOBAL_3D or rep_slam != reps.GLOBAL_3D:
+            raise NotImplementedError(
+                "estimator state currently runs GLOBAL_3D (as every reference "
+                "config does); other representations are available at the op "
+                "level in ov_plane_tpu.ops.representations")
+
         lay = StateLayout(
             max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
             max_slam=max(cfg.state.max_slam_features, 1),
