@@ -72,6 +72,9 @@ def read_tum(path: str):
     pos = data[:, 1:4]
     q_ItoG = data[:, 4:8]
     q_GtoI = np.concatenate([-q_ItoG[:, 0:3], q_ItoG[:, 3:4]], axis=1)
+    # Re-normalize: text quantization (6 decimals) leaves |q| != 1 by ~1e-6,
+    # which arccos amplifies to ~0.05 deg of phantom orientation error.
+    q_GtoI = q_GtoI / np.linalg.norm(q_GtoI, axis=1, keepdims=True)
     return t, pos, q_GtoI
 
 
