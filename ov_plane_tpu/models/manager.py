@@ -215,6 +215,8 @@ class VioEngine:
                 max_velocity=cfg.zupt_max_velocity,
                 max_disparity=cfg.zupt_max_disparity,
                 only_at_beginning=cfg.zupt_only_at_beginning,
+                integrated_accel=cfg.zupt_integrated_accel,
+                explicit_zero_motion=cfg.zupt_explicit_zero_motion,
                 sigma_w2=cfg.imu_noises.sigma_w_2,
                 sigma_a2=cfg.imu_noises.sigma_a_2,
                 sigma_wb2=cfg.imu_noises.sigma_wb_2,
@@ -354,6 +356,20 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     state, new_slot = propagate_and_clone(
         state, frame.imu_t, frame.imu_w, frame.imu_a, frame.t_new, noises, gravity, eng.prop_opts
     )
+
+    if eng.try_zupt and eng.zupt_opts.explicit_zero_motion:
+        # Explicit zero-motion variant (UpdaterZeroVelocity.cpp:252-313):
+        # reuse this frame's propagate+clone, constrain the relative pose
+        # between the previous clone and the transient one (plus velocity) to
+        # zero, and free the transient clone. Falls back to the standard
+        # formulation's result before the first clone exists.
+        from ov_plane_tpu.models.zupt import zupt_explicit_update
+
+        prev_slot0 = state_in.newest_clone_slot
+        explicit = zupt_explicit_update(state, eng.zupt_opts, prev_slot0, new_slot)
+        has_prev = state_in.num_clones > 0
+        state_zupt = jax.tree.map(
+            lambda a, b: jnp.where(has_prev, a, b), explicit, state_zupt)
 
     # 2. Undistort + ingest the frame's observations at the new clone slot.
     zeta = state.cam_zeta

@@ -38,6 +38,14 @@ class ZuptOptions(NamedTuple):
     sigma_ab2: float = 3.0e-03**2
     do_fej: bool = True
     gravity_mag: float = 9.81
+    # Variant toggles (UpdaterZeroVelocity.cpp:113-117):
+    # integrated_accel: replace the direct a=Rg rows with the velocity
+    # integral v − g·dt + Rᵀ·â·dt = 0 (adds velocity columns).
+    integrated_accel: bool = False
+    # explicit_zero_motion: propagate+clone then constrain the relative
+    # (ori, pos) between the two clones and v to zero (:252-313); the frame
+    # step marginalizes the transient clone.
+    explicit_zero_motion: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -69,25 +77,42 @@ def try_zupt(state: VioState, opts: ZuptOptions, imu_t, imu_w, imu_a, t_new,
     valid = (dt > 0) & jnp.isfinite(dt)
     dt_s = jnp.where(valid, dt, 1.0)
 
-    # Residuals per interval: r_w = −(w_m − bg); r_a = −(a_m − ba − R g)
-    # (UpdaterZeroVelocity.cpp:148-154).
+    # Residuals per interval: r_w = −(w_m − bg) always; accel rows depend on
+    # the formulation (UpdaterZeroVelocity.cpp:148-177).
     r_w = -(imu_w[:-1] - bg) * valid[:, None]
-    r_a = -((imu_a[:-1] - ba) - (R_GtoI @ gravity)) * valid[:, None]
+    a_hat = imu_a[:-1] - ba
+    if opts.integrated_accel:
+        # v_{k+1}=0 integral: r = −(v − g·dt + Rᵀ â dt); noise σ_a²·dt.
+        v = state.imu[7:10]
+        r_a = -(v[None, :] - gravity[None, :] * dt_s[:, None]
+                + (a_hat @ R_GtoI) * dt_s[:, None]) * valid[:, None]
+        s_a = jnp.sqrt(opts.sigma_a2 * dt_s * opts.noise_multiplier)
+    else:
+        r_a = -(a_hat - (R_GtoI @ gravity)) * valid[:, None]
+        s_a = jnp.sqrt(opts.sigma_a2 / dt_s * opts.noise_multiplier)
 
-    # Whiten by per-row noise: σ_w²/dt (gyro), σ_a²/dt (accel), × multiplier.
+    # Whiten by per-row noise: σ_w²/dt (gyro), accel per above, × multiplier.
     s_w = jnp.sqrt(opts.sigma_w2 / dt_s * opts.noise_multiplier)
-    s_a = jnp.sqrt(opts.sigma_a2 / dt_s * opts.noise_multiplier)
     r_w_wh = r_w / s_w[:, None]
     r_a_wh = r_a / s_a[:, None]
 
     # Full-width whitened Jacobians (H rows: gyro then accel per interval).
-    # Gyro row: ∂/∂bg = −I. Accel row: ∂/∂θ = −⌊R_jac·g⌋, ∂/∂ba = −I.
+    # Gyro row: ∂/∂bg = −I.
     Hg = jnp.zeros((I - 1, 3, D), dtype)
     Hg = Hg.at[:, :, lay.IMU_BG:lay.IMU_BG + 3].set(-jnp.eye(3, dtype=dtype)[None])
     Hg = Hg / s_w[:, None, None] * valid[:, None, None]
     Ha = jnp.zeros((I - 1, 3, D), dtype)
-    Ha = Ha.at[:, :, lay.IMU_TH:lay.IMU_TH + 3].set(-skew(R_jac @ gravity)[None])
-    Ha = Ha.at[:, :, lay.IMU_BA:lay.IMU_BA + 3].set(-jnp.eye(3, dtype=dtype)[None])
+    if opts.integrated_accel:
+        # ∂/∂θ = −R_jacᵀ⌊â⌋dt, ∂/∂ba = −R_jacᵀdt, ∂/∂v = I (:159-167).
+        Ha = Ha.at[:, :, lay.IMU_TH:lay.IMU_TH + 3].set(
+            -jnp.einsum("ab,kbc->kac", R_jac.T, jax.vmap(skew)(a_hat)) * dt_s[:, None, None])
+        Ha = Ha.at[:, :, lay.IMU_BA:lay.IMU_BA + 3].set(
+            (-R_jac.T)[None] * dt_s[:, None, None])
+        Ha = Ha.at[:, :, lay.IMU_V:lay.IMU_V + 3].set(jnp.eye(3, dtype=dtype)[None])
+    else:
+        # ∂/∂θ = −⌊R_jac·g⌋, ∂/∂ba = −I.
+        Ha = Ha.at[:, :, lay.IMU_TH:lay.IMU_TH + 3].set(-skew(R_jac @ gravity)[None])
+        Ha = Ha.at[:, :, lay.IMU_BA:lay.IMU_BA + 3].set(-jnp.eye(3, dtype=dtype)[None])
     Ha = Ha / s_a[:, None, None] * valid[:, None, None]
 
     H = jnp.concatenate([Hg, Ha], axis=1).reshape((I - 1) * 6, D)
@@ -113,6 +138,59 @@ def try_zupt(state: VioState, opts: ZuptOptions, imu_t, imu_w, imu_a, t_new,
     zupt_state, _ = ekf.ekf_update(state.replace(cov=new_cov), H, res, jnp.ones_like(res))
     zupt_state = zupt_state.replace(t=jnp.asarray(t_new, dtype), last_dt=state.calib_dt)
     return zupt_state, accepted
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def zupt_explicit_update(state: VioState, opts: ZuptOptions, slot0, slot1):
+    """Explicit zero-motion formulation (UpdaterZeroVelocity.cpp:252-313):
+    after the caller has propagated AND cloned to the new time (clone slot1),
+    constrain the relative orientation/position between clone slot0 (previous
+    time) and slot1 to zero, and the velocity to zero, with fixed noise
+    (1e-2, 1e-1, 1e-1); then marginalize the transient clone slot1.
+
+    Returns the updated state (slot1 freed).
+    """
+    from ov_plane_tpu.ops.quat import log_so3
+    from ov_plane_tpu.state.propagator import marginalize_clone_slot
+
+    lay = state.layout
+    D = lay.dim
+    dtype = state.imu.dtype
+
+    R0 = quat_2_rot(state.clones_q[slot0])
+    R1 = quat_2_rot(state.clones_q[slot1])
+    p0 = state.clones_p[slot0]
+    p1 = state.clones_p[slot1]
+    R0_jac = quat_2_rot(state.clones_q_fej[slot0]) if opts.do_fej else R0
+
+    # Residuals, sign-flipped as in the reference (res *= -1, :285).
+    res = jnp.concatenate([
+        log_so3(R0 @ R1.T),
+        -(p1 - p0),
+        -state.imu[7:10],
+    ])
+
+    # Whitened rows: ori sigma 1e-2, pos/vel sigma 1e-1 (:305-308).
+    sig = jnp.concatenate([jnp.full((3,), 1e-2, dtype), jnp.full((6,), 1e-1, dtype)])
+    H = jnp.zeros((9, D), dtype)
+    I3 = jnp.eye(3, dtype=dtype)
+    z = jnp.zeros((), slot0.dtype) if hasattr(slot0, "dtype") else 0
+    c0 = lay.clone_base + 6 * slot0
+    c1 = lay.clone_base + 6 * slot1
+    # ori rows: ∂/∂θ0 = I, ∂/∂θ1 = −R0_jac (:296-300).
+    H = jax.lax.dynamic_update_slice(H, I3, (0, c0))
+    H = jax.lax.dynamic_update_slice(H, -R0_jac, (0, c1))
+    # pos rows: ∂/∂p0 = −I, ∂/∂p1 = I.
+    H = jax.lax.dynamic_update_slice(H, -I3, (3, c0 + 3))
+    H = jax.lax.dynamic_update_slice(H, I3, (3, c1 + 3))
+    # vel rows.
+    H = H.at[6:9, lay.IMU_V:lay.IMU_V + 3].set(I3)
+    H = H / sig[:, None]
+    res = res / sig
+
+    new_state, _ = ekf.ekf_update(state, H, res, jnp.ones_like(res))
+    # Remove the transient clone (StateHelper::marginalize + erase, :311-312).
+    return marginalize_clone_slot(new_state, slot1)
 
 
 def compute_disparity(bank_uv, bank_mask, prev_slot, cur_slot):

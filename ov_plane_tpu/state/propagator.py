@@ -309,3 +309,11 @@ def marginalize_oldest_clone(state: VioState, max_clone_size: int) -> VioState:
     cov = jnp.where(over, ekf.zero_slot(state.cov, lay.clone_base + 6 * slot, 6), state.cov)
     clones_t = jnp.where(over, state.clones_t.at[slot].set(-jnp.inf), state.clones_t)
     return state.replace(cov=cov, clones_t=clones_t)
+
+
+@jax.jit
+def marginalize_clone_slot(state: VioState, slot) -> VioState:
+    """Unconditionally marginalize one clone slot (zero rows/cols + free)."""
+    lay = state.layout
+    cov = ekf.zero_slot(state.cov, lay.clone_base + 6 * slot, 6)
+    return state.replace(cov=cov, clones_t=state.clones_t.at[slot].set(-jnp.inf))

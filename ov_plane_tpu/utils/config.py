@@ -223,6 +223,8 @@ class VioConfig:
     zupt_noise_multiplier: float = 50.0
     zupt_max_disparity: float = 0.5
     zupt_only_at_beginning: bool = True
+    zupt_integrated_accel: bool = False
+    zupt_explicit_zero_motion: bool = False
 
     @property
     def gravity(self) -> np.ndarray:
@@ -298,6 +300,8 @@ _YAML_MAP = {
     "zupt_noise_multiplier": (None, "zupt_noise_multiplier"),
     "zupt_max_disparity": (None, "zupt_max_disparity"),
     "zupt_only_at_beginning": (None, "zupt_only_at_beginning"),
+    "zupt_integrated_accel": (None, "zupt_integrated_accel"),
+    "zupt_explicit_zero_motion": (None, "zupt_explicit_zero_motion"),
     "up_msckf_sigma_px": ("msckf_options", "sigma_pix"),
     "up_msckf_chi2_multipler": ("msckf_options", "chi2_multipler"),
     "up_slam_sigma_px": ("slam_options", "sigma_pix"),

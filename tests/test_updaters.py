@@ -153,3 +153,93 @@ def test_zupt_in_step_skips_cloning():
     assert float(state.t) == pytest.approx(0.3)
     assert int(state.num_clones) == 0
     assert not bool(state.has_moved)
+
+
+def test_zupt_integrated_accel_variant():
+    """Integrated-accel formulation (UpdaterZeroVelocity.cpp:159-167): same
+    stationary-accept / rotating-reject behavior through the velocity
+    integral rows."""
+    st = _stationary_state()
+    hz, n = 100.0, 21
+    t = jnp.asarray(np.arange(n) / hz)
+    w_m = jnp.asarray(1e-5 * RNG.normal(size=(n, 3)))
+    a_m = jnp.asarray(np.tile([0, 0, 9.81], (n, 1)) + 1e-4 * RNG.normal(size=(n, 3)))
+    opts = ZuptOptions(chi2_multipler=1.0, noise_multiplier=10.0, gravity_mag=9.81,
+                       integrated_accel=True)
+    new_st, acc = try_zupt(st, opts, t, w_m, a_m, 0.2, jnp.asarray(10.0), jnp.asarray(0))
+    assert bool(acc)
+    assert float(jnp.min(jnp.diag(new_st.cov)[:15])) > 0
+
+    w_fast = jnp.asarray(np.tile([0.5, 0, 0], (n, 1)))
+    _, acc2 = try_zupt(st, opts, t, w_fast, a_m, 0.2, jnp.asarray(10.0), jnp.asarray(0))
+    assert not bool(acc2)
+
+    # A nonzero-velocity state violates the integral constraint -> rejected.
+    st_v = st.replace(imu=st.imu.at[7:10].set(jnp.asarray([0.5, 0.0, 0.0])))
+    _, acc3 = try_zupt(st_v, opts, t, w_m, a_m, 0.2, jnp.asarray(10.0), jnp.asarray(0))
+    assert not bool(acc3)
+
+
+def test_zupt_explicit_zero_motion_in_step():
+    """Explicit zero-motion variant in the frame step: after one moving frame
+    (which clones), stationary frames constrain the relative pose to zero and
+    free the transient clone (UpdaterZeroVelocity.cpp:252-313)."""
+    import jax
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import FrameData, VioEngine, init_state_with_gt, step
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.try_zupt = True
+    cfg.zupt_options.chi2_multipler = 1.0
+    cfg.zupt_max_disparity = 0.0
+    cfg.zupt_only_at_beginning = False
+    cfg.zupt_explicit_zero_motion = True
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = False
+    cfg.state.use_plane_slam_feats = False
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.tpu.max_features = 32
+    cfg.tpu.max_obs_per_frame = 16
+    cfg.tpu.max_msckf_update = 8
+    cfg.tpu.max_imu_per_frame = 16
+
+    eng = VioEngine.from_config(cfg)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    state = init_state_with_gt(eng, cfg, t0=0.0, q0=q0, p0=jnp.zeros(3), v0=jnp.zeros(3),
+                               bg0=jnp.zeros(3), ba0=jnp.zeros(3))
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    n = cfg.tpu.max_imu_per_frame
+    empty = dict(obs_id=jnp.full(16, -1, jnp.int32), obs_uv=jnp.zeros((16, 2)),
+                 obs_plane=jnp.full(16, -1, jnp.int32))
+
+    # Frame 1: strong rotation -> ZUPT rejected, normal path clones.
+    ts = jnp.asarray(np.linspace(0.0, 0.1, n))
+    frame = FrameData(imu_t=ts, imu_w=jnp.asarray(np.tile([0.5, 0, 0], (n, 1))),
+                      imu_a=jnp.asarray(np.tile([0, 0, cfg.gravity_mag], (n, 1))),
+                      t_new=jnp.asarray(0.1), **empty)
+    state, bank, _ = step(eng, state, bank, frame)
+    assert int(state.num_clones) == 1
+    v_after_motion = float(jnp.linalg.norm(state.imu[7:10]))
+
+    # Frames 2-3: stationary -> explicit ZUPT (clone count stays, vel pulled
+    # toward zero through the soft sigma_v = 0.1 constraint). A stationary
+    # tilted IMU measures R_GtoI * g in the body frame.
+    from ov_plane_tpu.ops.quat import quat_2_rot as q2r
+    for k in range(1, 3):
+        ts = jnp.asarray(np.linspace(k * 0.1, (k + 1) * 0.1, n))
+        a_body = np.asarray(q2r(state.imu[0:4])) @ np.array([0, 0, cfg.gravity_mag])
+        frame = FrameData(
+            imu_t=ts, imu_w=jnp.asarray(1e-5 * RNG.normal(size=(n, 3))),
+            imu_a=jnp.asarray(np.tile(a_body, (n, 1)) + 1e-4 * RNG.normal(size=(n, 3))),
+            t_new=jnp.asarray((k + 1) * 0.1), **empty)
+        state, bank, _ = step(eng, state, bank, frame)
+
+    assert float(state.t) == pytest.approx(0.3)
+    assert int(state.num_clones) == 1          # transient clones freed
+    v_final = float(jnp.linalg.norm(state.imu[7:10]))
+    assert v_final < v_after_motion and v_final < 0.02
+    assert float(jnp.min(jnp.diag(state.cov)[:15])) > 0
+    assert np.isfinite(np.asarray(state.cov)).all()
