@@ -157,6 +157,7 @@ class VioEngine:
             sigma_c=cfg.state.sigma_constraint,
             use_plane_constraint=cfg.state.use_plane_constraint and cfg.state.use_plane_constraint_msckf,
             use_info_compression=cfg.tpu.use_info_compression,
+            shard_axis=cfg.tpu.shard_axis,
         )
         so = SlamOptions(
             jac=jac, tri=tri,

@@ -41,6 +41,13 @@ class MsckfOptions(NamedTuple):
     # Information-form compression (fused Pallas HᵀH on TPU) instead of QR:
     # ~50x faster reduction; squares the conditioning, fine for whitened rows.
     use_info_compression: bool = False
+    # In-loop sharded Schur reduction (SURVEY §2.4 item 3): when set to a mesh
+    # axis name and the step runs under `jax.set_mesh`, the stacked Jacobian
+    # rows are sharding-constrained over that axis so GSPMD partitions the
+    # per-feature Jacobian build + gram reduction Λ=HᵀH, η=Hᵀr across devices
+    # and inserts the psum — the distributed generalization of the reference's
+    # sequential Givens compression (UpdaterHelper.cpp:548-579).
+    shard_axis: str = ""
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -127,7 +134,20 @@ def msckf_update(
     # Stack, compress, update.
     H_big = H_x2.reshape(M * (3 * K - 3), D)
     r_big = res2.reshape(M * (3 * K - 3))
-    if opts.use_info_compression:
+    if opts.shard_axis:
+        # Shard the measurement rows over the named mesh axis; the gram
+        # contraction then runs as per-shard partial sums + an XLA psum
+        # (see parallel/schur.py for the standalone shard_map form).
+        from jax.sharding import PartitionSpec as P
+
+        from ov_plane_tpu.parallel.schur import information_to_compressed
+
+        H_big = jax.lax.with_sharding_constraint(H_big, P(opts.shard_axis, None))
+        r_big = jax.lax.with_sharding_constraint(r_big, P(opts.shard_axis))
+        lam = H_big.T @ H_big
+        eta = H_big.T @ r_big
+        H_c, r_c = information_to_compressed(lam, eta)
+    elif opts.use_info_compression:
         from ov_plane_tpu.ops.pallas_kernels import gram_reduce
         from ov_plane_tpu.parallel.schur import information_to_compressed
 

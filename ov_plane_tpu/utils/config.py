@@ -179,6 +179,9 @@ class TpuOptions:
     mesh_axes: Dict[str, int] = field(default_factory=dict)  # e.g. {"seq": 8}
     # Information-form measurement compression (fused Pallas HᵀH on TPU)
     # instead of QR — much faster; squares conditioning (fine for whitened rows).
+    # In-loop sharded Schur reduction: mesh axis name for sharding the MSCKF
+    # measurement rows (empty = off). Requires running under jax.set_mesh.
+    shard_axis: str = ""
     use_info_compression: bool = False
 
 

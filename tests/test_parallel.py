@@ -105,3 +105,51 @@ def test_batched_replay_runs_on_mesh():
     assert float(fleet_rmse) < 1.0
     # All batch members identical (same stream, same init).
     np.testing.assert_allclose(np.asarray(outs.p[0]), np.asarray(outs.p[-1]), atol=1e-12)
+
+
+def test_inloop_sharded_compression_matches_unsharded():
+    """In-loop sharded Schur reduction (MsckfOptions.shard_axis): the full
+    sequence replay under a (dp x sp) mesh with measurement rows sharded over
+    'sp' matches the single-device info-compression replay to float64
+    precision — GSPMD partitions the gram reduction and inserts the psum."""
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
+    from ov_plane_tpu.sim.simulator import build_sim
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = 5.0
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = False
+    cfg.state.use_plane_slam_feats = False
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 20
+    cfg.num_pts_plane = 0
+    cfg.tpu.max_features = 64
+    cfg.tpu.max_obs_per_frame = 48
+    cfg.tpu.max_msckf_update = 24
+    cfg.tpu.use_info_compression = True
+    sim = build_sim(cfg, max_obs=48)
+
+    def run(cfg_run):
+        eng = VioEngine.from_config(cfg_run)
+        st = init_state_with_gt(
+            eng, cfg_run, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
+            v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0])
+        bk = FeatureBank.create(cfg_run.tpu.max_features, eng.layout.max_clones)
+        _, _, outs = run_sequence(eng, st, bk, sim, imu_window=cfg_run.tpu.max_imu_per_frame)
+        return np.asarray(outs.p)
+
+    p_ref = run(cfg)
+
+    cfg.tpu.shard_axis = "sp"
+    from jax.sharding import AxisType
+    mesh = jax.make_mesh((N_DEV // 2, 2), ("dp", "sp"),
+                         axis_types=(AxisType.Auto, AxisType.Auto))
+    with jax.set_mesh(mesh):
+        p_sharded = run(cfg)
+
+    assert np.isfinite(p_sharded).all()
+    np.testing.assert_allclose(p_sharded, p_ref, atol=1e-8)
