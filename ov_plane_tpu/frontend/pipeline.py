@@ -57,6 +57,14 @@ class VisionPipeline:
             max_features=cfg.num_pts,
         )
         self.fe = FrontendState(plane_tracker=PlaneTracker(cfg.trackplane))
+        self.aruco = None
+        if cfg.use_aruco:
+            from ov_plane_tpu.frontend.aruco import ArucoOptions, ArucoTracker
+
+            self.aruco = ArucoTracker(ArucoOptions(downsize=cfg.downsize_aruco))
+            # Natural-feature ids start above the reserved ArUco range
+            # (TrackAruco semantics: currid = 4*max_aruco + 1).
+            self.fe.next_id = max(self.fe.next_id, self.aruco.first_free_id)
 
     def process_image(self, img: np.ndarray, state: VioState, bank: fb.FeatureBank,
                       imu_t=None, imu_w=None):
@@ -122,6 +130,18 @@ class VisionPipeline:
             fe.uv = np.vstack([fe.uv, new_uv]) if len(fe.uv) else new_uv
 
         fe.prev_pyr = pyr
+
+        # 2b. ArUco corners: re-detected every frame with reserved stable ids
+        #     (they override any KLT-tracked position for the same id).
+        if self.aruco is not None:
+            a_ids, a_uv = self.aruco.detect(img)
+            if len(a_ids):
+                # Prepend: fiducial corners are priority features (the
+                # reference routes them to SLAM ahead of natural features)
+                # and must survive the fixed-size observation truncation.
+                keep = ~np.isin(fe.ids, a_ids)
+                fe.ids = np.concatenate([a_ids, fe.ids[keep]])
+                fe.uv = np.vstack([a_uv, fe.uv[keep]]) if keep.any() else a_uv
 
         # 3. Triangulate active tracks from the bank window (device, batched)
         #    → plane detection on the host.

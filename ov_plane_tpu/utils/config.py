@@ -214,6 +214,8 @@ class VioConfig:
     num_pts: int = 150
     num_pts_plane: int = 150
     fast_threshold: int = 15
+    use_aruco: bool = False
+    downsize_aruco: bool = True
     grid_x: int = 20
     grid_y: int = 20
     min_px_dist: int = 15
@@ -293,6 +295,8 @@ _YAML_MAP = {
     "num_pts": (None, "num_pts"),
     "num_pts_plane": (None, "num_pts_plane"),
     "fast_threshold": (None, "fast_threshold"),
+    "use_aruco": (None, "use_aruco"),
+    "downsize_aruco": (None, "downsize_aruco"),
     "grid_x": (None, "grid_x"),
     "grid_y": (None, "grid_y"),
     "min_px_dist": (None, "min_px_dist"),
