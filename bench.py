@@ -67,7 +67,7 @@ def main():
     from ov_plane_tpu.eval.metrics import rmse_nees
     from ov_plane_tpu.models.feature_bank import FeatureBank
     from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
-    from ov_plane_tpu.sim.simulator import build_sim
+    from ov_plane_tpu.sim.simulator import NoiseParams, apply_noise, build_sim
     from ov_plane_tpu.utils.config import sim_config
 
     cfg = sim_config()
@@ -100,17 +100,27 @@ def main():
     sim = jax.device_put(sim, accel)
     eng = VioEngine.from_config(cfg)
 
-    def one_run(_seed):
+    noise = NoiseParams(
+        sigma_w=cfg.imu_noises.sigma_w, sigma_a=cfg.imu_noises.sigma_a,
+        sigma_wb=cfg.imu_noises.sigma_wb, sigma_ab=cfg.imu_noises.sigma_ab,
+        sigma_pix=cfg.msckf_options.sigma_pix, dt_imu=1.0 / cfg.sim.freq_imu,
+    )
+
+    def one_run(key):
+        # Genuinely distinct per-member measurement noise: without this, every
+        # batch row is the identical computation and XLA hoists it out of the
+        # vmap — the "batch" then measures ONE sequence broadcast B times.
+        sim_k = apply_noise(sim, key, noise)
         state = init_state_with_gt(
-            eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],
-            bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0], dtype=dt,
+            eng, cfg, t0=sim_k.cam_t_imu[0], q0=sim_k.gt_q[0], p0=sim_k.gt_p[0], v0=sim_k.gt_v[0],
+            bg0=sim_k.gt_bg_cam[0], ba0=sim_k.gt_ba_cam[0], dtype=dt,
         )
         bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
-        _, _, outs = run_sequence(eng, state, bank, sim, imu_window=cfg.tpu.max_imu_per_frame)
+        _, _, outs = run_sequence(eng, state, bank, sim_k, imu_window=cfg.tpu.max_imu_per_frame)
         return outs.p, outs.q, outs.cov_diag_imu
 
     batched = jax.jit(jax.vmap(one_run))
-    seeds = jax.device_put(jnp.arange(BATCH), accel)  # computation follows inputs → accel
+    seeds = jax.device_put(jax.random.split(jax.random.PRNGKey(7), BATCH), accel)
 
     t0 = time.time()
     p, q, cov = batched(seeds)

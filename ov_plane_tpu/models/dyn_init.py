@@ -13,8 +13,11 @@ Unknowns x = [v0 (3), g^{I0} (3), p_f (3F)]; everything is linear, solved via
 normal equations + Cholesky (TPU-safe). Gravity magnitude serves as the
 quality gate (|‖g‖ − 9.81| small ⇒ the solution is geometrically coherent);
 the global frame is then defined by rotating gravity onto +z (Gram-Schmidt,
-yaw free). The reference additionally runs an MLE refinement
-(init_dyn_mle_*); the EKF itself refines quickly from this seed.
+yaw free). ``dynamic_mle_refine`` then mirrors ov_init's MLE stage
+(init_dyn_mle_*): an LM shooting problem over [v0, g, bg, ba, features] with
+the bias-corrected preintegration re-rolled per iteration (exact Jacobians by
+jacfwd through the rollout instead of Ceres + hand-derived preintegration
+Jacobians).
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ class DynInitOptions(NamedTuple):
     inflation_vel: float = 100.0
     inflation_bg: float = 10.0
     inflation_ba: float = 100.0
+    # MLE refinement (ov_init fit_mle / init_dyn_mle_* options): LM iterations
+    # over [v0, g, bg, ba, features] with the preintegration re-rolled out per
+    # iteration at the current biases. 0 disables.
+    mle_iters: int = 12
+    mle_sigma_uv: float = 1.0 / 460.0   # normalized-plane pixel sigma (~1px/f)
+    mle_sigma_g: float = 0.05           # gravity-magnitude soft constraint
+    mle_sigma_bg: float = 0.02          # bias prior stddevs over the window
+    mle_sigma_ba: float = 0.10
 
 
 def _preintegrate(imu_t, imu_w, imu_a, t_poses):
@@ -183,3 +194,100 @@ def dynamic_initialize(imu_t, imu_w, imu_a, t_poses, uvn, obs_mask,
     v0_G = R_GtoI0.T @ v0_I0
     p_f_G = jnp.einsum("ij,fj->fi", R_GtoI0.T, p_f_I0)
     return ok, q_GtoI0, v0_G, g_err, p_f_G, feat_ok
+
+
+def _gravity_frame(g_I0, dtype):
+    """Gram-Schmidt global frame with gravity on +z (yaw free)."""
+    z_I = g_I0 / jnp.maximum(jnp.linalg.norm(g_I0), 1e-9)
+    e1 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    x_I = e1 - z_I * (z_I @ e1)
+    x_I = x_I / jnp.maximum(jnp.linalg.norm(x_I), 1e-9)
+    y_I = jnp.cross(z_I, x_I)
+    return jnp.stack([x_I, y_I, z_I], axis=1)      # R_GtoI0
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def dynamic_mle_refine(imu_t, imu_w, imu_a, t_poses, uvn, obs_mask,
+                       R_ItoC, p_IinC, v0_I0, g_I0, p_f_I0, feat_ok,
+                       opts: DynInitOptions):
+    """MLE refinement of the linear dynamic-init solution.
+
+    The ov_init equivalent (DynamicInitializer fit_mle: a Ceres problem over
+    window poses/velocities/biases/features with Factor_ImageReprojCalib and
+    preintegration factors) re-designed as a SHOOTING problem: the window
+    trajectory is a differentiable function of (v0, g, bg, ba) through the
+    bias-corrected preintegration rollout, so the only residuals are
+
+      * reprojection of every feature in every pose (whitened, masked),
+      * a soft gravity-magnitude constraint,
+      * zero-mean bias priors (bg, ba weakly observable in a short window).
+
+    One LM solve over theta = [v0, g, bg, ba, p_f(3F)] (<= 60 params), with
+    Jacobians by jacfwd through the scan rollout — exact, no hand-derived
+    preintegration Jacobians. Returns (ok, q_GtoI0, v0_G, bg, ba, p_f_G,
+    g_err, cost).
+    """
+    dtype = uvn.dtype
+    P, F = uvn.shape[0], uvn.shape[1]
+    w_uv = 1.0 / opts.mle_sigma_uv
+    m = obs_mask.astype(dtype)
+
+    def residuals(theta):
+        v0, g = theta[0:3], theta[3:6]
+        bg, ba = theta[6:9], theta[9:12]
+        pf = theta[12:].reshape(F, 3)
+        R_0k, alpha_k, _, dt_k = _preintegrate(imu_t, imu_w - bg, imu_a - ba, t_poses)
+        # Camera centers in I0 (same composition as the linear rows).
+        R_c = jnp.swapaxes(R_0k, 1, 2) @ R_ItoC.T               # R_CktoI0
+        cam_off = -jnp.einsum("kij,j->ki", R_c, p_IinC)
+        c_k = v0 * dt_k[:, None] - 0.5 * g * (dt_k**2)[:, None] + alpha_k + cam_off
+        # Reprojection.
+        R_I0toC = jnp.swapaxes(R_c, 1, 2)                       # [P,3,3]
+        p_fC = jnp.einsum("kij,kfj->kfi", R_I0toC, pf[None] - c_k[:, None])
+        z = jnp.where(jnp.abs(p_fC[..., 2]) < 1e-4, 1e-4, p_fC[..., 2])
+        pred = p_fC[..., :2] / z[..., None]
+        r_uv = ((uvn - pred) * m[..., None] * w_uv).reshape(2 * P * F)
+        r_g = (jnp.linalg.norm(g) - opts.gravity_mag) / opts.mle_sigma_g
+        r_b = jnp.concatenate([bg / opts.mle_sigma_bg, ba / opts.mle_sigma_ba])
+        return jnp.concatenate([r_uv, r_g[None], r_b])
+
+    theta0 = jnp.concatenate([
+        v0_I0, g_I0, jnp.zeros(6, dtype),
+        jnp.where(feat_ok[:, None], p_f_I0, 1.0).reshape(3 * F),
+    ])
+    n = theta0.shape[0]
+    # Freeze invalid feature blocks (mask their update).
+    free = jnp.concatenate([jnp.ones(12, bool),
+                            jnp.repeat(feat_ok, 3)]).astype(dtype)
+
+    def lm_step(carry, _):
+        theta, lam = carry
+        r = residuals(theta)
+        J = jax.jacfwd(residuals)(theta) * free[None, :]
+        H = J.T @ J
+        gvec = -J.T @ r
+        Hd = H + (lam * jnp.maximum(jnp.trace(H), 1e-6) / n
+                  + 1e-9) * jnp.eye(n, dtype=dtype)
+        L = jnp.linalg.cholesky(Hd)
+        dx = jax.scipy.linalg.cho_solve((L, True), gvec) * free
+        c_old = jnp.sum(r**2)
+        c_new = jnp.sum(residuals(theta + dx) ** 2)
+        better = (c_new < c_old) & jnp.all(jnp.isfinite(dx))
+        theta = jnp.where(better, theta + dx, theta)
+        lam = jnp.where(better, jnp.maximum(lam / 10.0, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+        return (theta, lam), c_new
+
+    (theta, _), costs = jax.lax.scan(
+        lm_step, (theta0, jnp.asarray(1e-4, dtype)), None, length=opts.mle_iters)
+
+    v0, g = theta[0:3], theta[3:6]
+    bg, ba = theta[6:9], theta[9:12]
+    p_f = theta[12:].reshape(F, 3)
+    g_err = jnp.abs(jnp.linalg.norm(g) - opts.gravity_mag)
+    ok = jnp.all(jnp.isfinite(theta)) & (g_err < opts.max_gravity_err)
+
+    R_GtoI0 = _gravity_frame(g, dtype)
+    q_GtoI0 = rot_2_quat(R_GtoI0)
+    v0_G = R_GtoI0.T @ v0
+    p_f_G = jnp.einsum("ij,fj->fi", R_GtoI0.T, p_f)
+    return ok, q_GtoI0, v0_G, bg, ba, p_f_G, g_err, costs[-1]

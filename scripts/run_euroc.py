@@ -89,9 +89,22 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
+    ap.add_argument("--no-gt-init", action="store_true",
+                    help="ignore groundtruth for initialization (still used for ATE)")
+    ap.add_argument("--sim-calib", action="store_true",
+                    help="use the simulator's camera calibration (for ASL folders "
+                         "exported by scripts/make_synth_asl.py) and disable "
+                         "histogram preprocessing (synthetic frames are clean)")
     args = ap.parse_args()
 
     cfg = euroc_v1_config()
+    if args.sim_calib:
+        sc = sim_config()
+        cfg.cam_model = sc.cam_model
+        cfg.cam_wh = sc.cam_wh
+        cfg.cam_intrinsics = sc.cam_intrinsics
+        cfg.cam_extrinsics = sc.cam_extrinsics
+        cfg.histogram_method = "NONE"
     if args.config:
         cfg = load_yaml(args.config, base=cfg)
     cfg.state.use_plane_constraint = args.use_planes
@@ -121,7 +134,7 @@ def main():
     # ----- initialization --------------------------------------------------
     state = None
     start_idx = 0
-    if have_gt:
+    if have_gt and not args.no_gt_init:
         t_gt, p_gt, q_gt, v_gt, bg_gt, ba_gt = eio.read_euroc_gt(gt_path)
         # Initialize at the first camera frame with gt available.
         for i, t in enumerate(cam_t):
@@ -157,7 +170,11 @@ def main():
     if state is None:
         # Dynamic initialization: the platform starts in motion. Track
         # features over a 2 s window and solve the linear system.
-        from ov_plane_tpu.models.dyn_init import DynInitOptions, dynamic_initialize
+        from ov_plane_tpu.models.dyn_init import (
+            DynInitOptions,
+            dynamic_initialize,
+            dynamic_mle_refine,
+        )
         from ov_plane_tpu.ops import cams as _cams
         from ov_plane_tpu.ops.quat import quat_2_rot as _q2r
 
@@ -198,15 +215,42 @@ def main():
                         mk[a, fi] = True
             lo2 = np.searchsorted(imu_t, tp[0]) - 2
             hi2 = np.searchsorted(imu_t, tp[-1]) + 3
-            ok, q0_, v0_, g_err, _, _ = dynamic_initialize(
+            di_opts = DynInitOptions(min_deg=5.0)
+            di_args = (
                 jnp.asarray(imu_t[lo2:hi2]), jnp.asarray(imu_w[lo2:hi2]), jnp.asarray(imu_a[lo2:hi2]),
                 jnp.asarray(tp), jnp.asarray(uvn), jnp.asarray(mk),
                 R_ItoC, jnp.asarray(cfg.cam_extrinsics[4:7]),
-                DynInitOptions(min_deg=5.0),
             )
+            ok, q0_, v0_, g_err, pf_, fok_ = dynamic_initialize(*di_args, di_opts)
+            if not bool(ok):
+                print(f"[euroc] dyn-init attempt t={t:.2f}: F={F} "
+                      f"g_err={float(g_err):.2f} -> rejected", file=sys.stderr)
+            bg0_, ba0_ = jnp.zeros(3), jnp.zeros(3)
+            if bool(ok) and di_opts.mle_iters > 0:
+                # MLE refinement over the window (biases + gravity + feats).
+                R_lin = _q2r(q0_)
+                ok_m, q_m, v_m, bg_m, ba_m, _, gerr_m, _ = dynamic_mle_refine(
+                    *di_args, R_lin @ v0_,
+                    R_lin @ jnp.asarray([0.0, 0.0, di_opts.gravity_mag]),
+                    jnp.einsum("ij,fj->fi", R_lin, pf_), fok_, di_opts)
+                if bool(ok_m):
+                    q0_, v0_, bg0_, ba0_, g_err = q_m, v_m, bg_m, ba_m, gerr_m
+                    print(f"[euroc] dynamic MLE refined (|g| err {float(gerr_m):.3f}, "
+                          f"bg {np.asarray(bg_m).round(4)}, ba {np.asarray(ba_m).round(3)})")
             if bool(ok):
                 state = init_state_with_gt(eng, cfg, t0=t, q0=q0_, p0=jnp.zeros(3), v0=v0_,
-                                           bg0=jnp.zeros(3), ba0=jnp.zeros(3))
+                                           bg0=bg0_, ba0=ba0_)
+                # Dynamic init is NOT gt-grade: inflate the seed covariance
+                # (the reference's init_dyn_inflation_* on the MLE posterior;
+                # ov_init DynamicInitializer orientation/velocity/bias terms).
+                infl = np.ones(15)
+                infl[0:3] = di_opts.inflation_ori
+                infl[6:9] = di_opts.inflation_vel
+                infl[9:12] = di_opts.inflation_bg
+                infl[12:15] = di_opts.inflation_ba
+                s_ = jnp.asarray(np.sqrt(infl))
+                cov15 = state.cov[:15, :15] * s_[:, None] * s_[None, :]
+                state = state.replace(cov=state.cov.at[:15, :15].set(cov15))
                 start_idx = i + 1
                 # Reset the tracking state for the filtered run.
                 pipe.fe.prev_pyr = None

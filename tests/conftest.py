@@ -7,10 +7,15 @@ reproducible on the CPU backend (SURVEY.md §4 / §7.4).
 
 import os
 
-# Must be set before jax is imported anywhere. Force (not setdefault): the
-# host environment presets JAX_PLATFORMS=axon (remote TPU tunnel), which would
-# silently route every test compile through the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The host environment presets JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize hook imports jax + registers the axon PJRT plugin at
+# interpreter startup — BEFORE this conftest runs. Mutating os.environ here is
+# therefore too late (jax snapshot the env at import); pin the platform via
+# jax.config, which takes effect at (lazy) backend initialization. Without
+# this, every test compile routes through the tunnel and hangs if it is down.
+os.environ["JAX_PLATFORMS"] = "cpu"          # for any re-exec'd children
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -18,6 +23,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_tests")
 # Cache every compiled computation (including eager primitive dispatches):
