@@ -18,7 +18,9 @@ import numpy as np
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+from ov_plane_tpu.utils.jaxenv import setup_cache
+
+setup_cache()
 
 from ov_plane_tpu.ops import ekf
 from ov_plane_tpu.state import StateLayout, VioState

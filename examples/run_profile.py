@@ -10,7 +10,9 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+from ov_plane_tpu.utils.jaxenv import setup_cache
+
+setup_cache()
 
 from ov_plane_tpu.models.feature_bank import FeatureBank
 from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt

@@ -20,7 +20,9 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+from ov_plane_tpu.utils.jaxenv import setup_cache
+
+setup_cache()
 
 import jax.numpy as jnp
 import numpy as np

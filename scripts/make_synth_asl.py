@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--duration", type=float, default=15.0)
     ap.add_argument("--num-pts", type=int, default=60)
+    ap.add_argument("--num-pts-plane", type=int, default=0,
+                    help="environment points constrained to the cuboid-room "
+                         "planes (exercises the vision plane frontend)")
     ap.add_argument("--no-gt", action="store_true",
                     help="omit the groundtruth csv (forces static/dynamic init)")
     ap.add_argument("--skip-start", type=float, default=0.0,
@@ -47,7 +50,7 @@ def main():
     cfg = sim_config()
     cfg.sim.traj_duration = args.duration
     cfg.num_pts = args.num_pts
-    cfg.num_pts_plane = 0
+    cfg.num_pts_plane = args.num_pts_plane
     sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
 
     base = os.path.join(args.out, "mav0")
