@@ -32,6 +32,7 @@ from ov_plane_tpu.utils.config import sim_config
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--freq-cam", type=float, default=0.0, help="override sim camera rate")
     ap.add_argument("--max-slam", type=int, default=0)
     ap.add_argument("--num-pts", type=int, default=80)
     ap.add_argument("--num-pts-plane", type=int, default=0)
@@ -42,6 +43,8 @@ def main():
 
     cfg = sim_config()
     cfg.sim.traj_duration = args.duration
+    if args.freq_cam > 0:
+        cfg.sim.freq_cam = args.freq_cam
     cfg.state.max_slam_features = args.max_slam
     cfg.state.do_calib_camera_pose = False
     cfg.state.do_calib_camera_intrinsics = False

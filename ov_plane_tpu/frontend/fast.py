@@ -97,6 +97,8 @@ def detect_grid(img, occupied_uv, occupied_mask, opts: FastOptions, h: int, w: i
     v = (jnp.arange(gy)[:, None] * cellH + by).astype(score.dtype)
 
     cand_score = jnp.where(occ_cell | (best_score <= 0), -1.0, best_score).ravel()
-    order_scores, order = jax.lax.top_k(cand_score, opts.max_features)
+    # One detection per grid cell: k cannot exceed the cell count.
+    k = min(opts.max_features, gy * gx)
+    order_scores, order = jax.lax.top_k(cand_score, k)
     uv = jnp.stack([u.ravel()[order], v.ravel()[order]], axis=1)
     return uv, order_scores > 0

@@ -21,10 +21,15 @@ import jax.numpy as jnp
 class KltOptions(NamedTuple):
     levels: int = 4
     window: int = 10          # half-window (patch = (2w+1)²)
-    iters: int = 10
+    iters: int = 15
     min_eig: float = 1e-4     # G conditioning gate
-    fb_thresh: float = 2.0    # forward-backward px gate (at level 0)
-    max_err: float = 0.08     # mean abs photometric residual gate
+    # Outlier gates. The reference keeps LK permissive (OpenCV status only)
+    # and rejects outliers downstream with RANSAC (TrackPlane.cpp:1299-1357);
+    # over-tight photometric/FB gates here kill ~60% of genuinely good tracks
+    # per frame (surfaces change appearance with depth/viewpoint), which
+    # destroys the long tracks plane clustering needs.
+    fb_thresh: float = 1.5    # forward-backward px gate (at level 0)
+    max_err: float = 0.20     # mean abs photometric residual gate
 
 
 def _gauss_kernel(dtype):
@@ -121,11 +126,17 @@ def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def track(pyr0, pyr1, pts0, mask, opts: KltOptions):
+def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     """Track points pts0 [N, 2] (x, y pixels) from pyramid 0 to pyramid 1.
 
     pyr0/pyr1: tuples of per-level images (level 0 = full res).
     Returns (pts1 [N, 2], ok [N]) with forward-backward validation.
+
+    init_flow [N, 2]: optional per-feature flow prediction (e.g. the
+    gyro-induced rotation flow). LK's convergence basin is roughly the patch
+    window at each pyramid level; when inter-frame motion exceeds it AND the
+    scene texture is too fine to survive coarse pyramid levels, a prior is
+    the difference between tracking and sliding onto lookalike texture.
 
     Per-level image gradients are computed once (convolutions) and shared by
     the vmapped per-feature LK iterations.
@@ -133,10 +144,12 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions):
     levels = len(pyr0)
     grads0 = [_scharr_gradients(img) for img in pyr0]
     grads1 = [_scharr_gradients(img) for img in pyr1]
+    if init_flow is None:
+        init_flow = jnp.zeros_like(pts0)
 
-    def run(pyra, gradsa, pyrb, pts_from, m):
-        def one(pt0):
-            flow = jnp.zeros(2, pt0.dtype)
+    def run(pyra, gradsa, pyrb, pts_from, m, flow0):
+        def one(pt0, f0):
+            flow = f0
             okl = jnp.asarray(True)
             err = jnp.asarray(0.0, pt0.dtype)
             for lvl in range(levels - 1, -1, -1):
@@ -147,10 +160,10 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions):
                 okl = okl & ok_l
             return pt0 + flow, okl, err
 
-        return jax.vmap(one)(pts_from)
+        return jax.vmap(one)(pts_from, flow0)
 
-    p1, ok_f, err_f = run(pyr0, grads0, pyr1, pts0, mask)
-    p_back, ok_b, _ = run(pyr1, grads1, pyr0, p1, mask)
+    p1, ok_f, err_f = run(pyr0, grads0, pyr1, pts0, mask, init_flow)
+    p_back, ok_b, _ = run(pyr1, grads1, pyr0, p1, mask, -init_flow)
     fb = jnp.linalg.norm(p_back - pts0, axis=1)
     H, W = pyr0[0].shape
     in_bounds = (p1[:, 0] >= 1) & (p1[:, 0] < W - 1) & (p1[:, 1] >= 1) & (p1[:, 1] < H - 1)

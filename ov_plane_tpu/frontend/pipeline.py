@@ -28,20 +28,49 @@ from ov_plane_tpu.frontend.plane_track import PlaneTracker
 from ov_plane_tpu.models import feature_bank as fb
 from ov_plane_tpu.models.jacobians import clone_set_from_state
 from ov_plane_tpu.models.manager import FrameData, VioEngine, step
-from ov_plane_tpu.ops.triangulation import TriangulationOptions, triangulate
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.config import VioConfig
 
 
 @dataclass
 class FrontendState:
-    """Host-side tracker state between frames."""
+    """Host-side tracker state between frames.
 
+    Fixed-capacity slot arrays (ids/uv/valid all [cap]): every jitted frontend
+    program (KLT, RANSAC, FAST, triangulation) then sees ONE shape for the
+    whole run. Variable-length arrays here caused a fresh XLA compile per
+    frame whose JIT mappings accumulated until vm.max_map_count was exhausted
+    (LLVM "Cannot allocate memory" → SIGSEGV ~100 frames in) and made every
+    TPU frame a remote compile.
+    """
+
+    cap: int = 128
     prev_pyr: Optional[tuple] = None
-    ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    uv: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+    ids: np.ndarray = None
+    uv: np.ndarray = None
+    valid: np.ndarray = None
     next_id: int = 1
     plane_tracker: PlaneTracker = field(default_factory=PlaneTracker)
+
+    def __post_init__(self):
+        if self.ids is None:
+            self.ids = np.full(self.cap, -1, np.int64)
+        if self.uv is None:
+            self.uv = np.zeros((self.cap, 2), np.float64)
+        if self.valid is None:
+            self.valid = np.zeros(self.cap, bool)
+        # Incremental whole-track triangulation (TrackPlane.cpp:626-694):
+        # per-slot accumulated 3x3 system A p = b over the feature's ENTIRE
+        # track — far longer baseline than the clone window, which is what
+        # makes the triangle normals clean enough for plane clustering.
+        self.tri_A = np.zeros((self.cap, 3, 3))
+        self.tri_b = np.zeros((self.cap, 3))
+        self.tri_n = np.zeros(self.cap, np.int32)
+
+    def reset_slots(self, idx):
+        self.tri_A[idx] = 0.0
+        self.tri_b[idx] = 0.0
+        self.tri_n[idx] = 0
 
 
 class VisionPipeline:
@@ -51,12 +80,13 @@ class VisionPipeline:
         self.cfg = cfg
         self.eng = eng
         self.klt_opts = fklt.KltOptions(levels=4, window=10)
+        cap = max(cfg.tpu.max_obs_per_frame, cfg.num_pts + cfg.num_pts_plane)
         self.fast_opts = ffast.FastOptions(
             threshold=cfg.fast_threshold / 255.0,
             grid_x=cfg.grid_x, grid_y=cfg.grid_y,
-            max_features=cfg.num_pts,
+            max_features=cfg.num_pts + cfg.num_pts_plane,
         )
-        self.fe = FrontendState(plane_tracker=PlaneTracker(cfg.trackplane))
+        self.fe = FrontendState(cap=cap, plane_tracker=PlaneTracker(cfg.trackplane))
         self.aruco = None
         if cfg.use_aruco:
             from ov_plane_tpu.frontend.aruco import ArucoOptions, ArucoTracker
@@ -67,7 +97,7 @@ class VisionPipeline:
             self.fe.next_id = max(self.fe.next_id, self.aruco.first_free_id)
 
     def process_image(self, img: np.ndarray, state: VioState, bank: fb.FeatureBank,
-                      imu_t=None, imu_w=None):
+                      imu_t=None, imu_w=None, t_new=None):
         """Track features into the new image, top up detections, detect planes.
 
         img: [H, W] float in [0, 1]. When (imu_t, imu_w) covering the
@@ -85,49 +115,109 @@ class VisionPipeline:
         pyr = tuple(fklt.build_pyramid(img_j, self.klt_opts.levels))
         fe = self.fe
 
-        # 1. KLT-track previous features.
-        if fe.prev_pyr is not None and len(fe.ids) > 0:
+        # 0. Gyro-integrated inter-frame rotation (shared by the LK prior and
+        #    the RANSAC gate). IMU segment padded to a FIXED length so the
+        #    integration compiles once (integrate_gyro zeroes the dt of
+        #    non-finite padding); variable lengths would recompile per count.
+        R_cam = None
+        if imu_t is not None and imu_w is not None:
+            from ov_plane_tpu.frontend.ransac import integrate_gyro
+            from ov_plane_tpu.ops.quat import quat_2_rot
+
+            I = cfg.tpu.max_imu_per_frame
+            t_pad = np.full(I, np.inf)
+            w_pad = np.zeros((I, 3))
+            n_seg = min(len(np.asarray(imu_t)), I)
+            t_pad[:n_seg] = np.asarray(imu_t)[:n_seg]
+            w_pad[:n_seg] = np.asarray(imu_w)[:n_seg]
+            # Clip the integration to the inter-frame interval. The caller's
+            # window deliberately over-covers it (padding for searchsorted
+            # slop); integrating the whole window would overestimate the
+            # rotation by the window/frame-interval ratio, corrupting both
+            # the LK prior and the RANSAC epipolar model.
+            t_lo = float(state.t)
+            t_hi = float(t_new) if t_new is not None else 1e30
+            R_imu = integrate_gyro(jnp.asarray(t_pad), jnp.asarray(w_pad),
+                                   t_lo, t_hi, state.imu[10:13])
+            R_ItoC = quat_2_rot(state.calib_cam[0:4])
+            R_cam = R_ItoC @ R_imu @ R_ItoC.T
+
+        from ov_plane_tpu.ops import cams
+
+        zeta = state.cam_zeta
+        und = jax.vmap(lambda uv: cams.undistort(uv, zeta, self.eng.cam_model))
+
+        # 0b. Incremental triangulation accumulation (TrackPlane.cpp:626-657):
+        #     the pre-track uv's belong to the PREVIOUS image, whose pose is
+        #     the state's newest clone (step() ran after that image). Rank-1
+        #     update of each slot's 3x3 system with the bearing projector.
+        if fe.prev_pyr is not None and fe.valid.any() and int(state.num_clones) >= 1:
+            clones = clone_set_from_state(state)
+            newest = int(np.asarray(state.newest_clone_slot))
+            R_prev = np.asarray(clones.R_GtoC[newest])
+            p_prev = np.asarray(clones.p_CinG[newest])
+            uvn_all = np.asarray(und(jnp.asarray(fe.uv, jnp.float32)), np.float64)
+            b_c = np.concatenate([uvn_all, np.ones((fe.cap, 1))], axis=1)
+            b_g = b_c @ R_prev          # R_prev.T @ b per row
+            b_g /= np.linalg.norm(b_g, axis=1, keepdims=True)
+            Ai = np.eye(3)[None] - b_g[:, :, None] * b_g[:, None, :]
+            v = fe.valid
+            fe.tri_A[v] += Ai[v]
+            fe.tri_b[v] += Ai[v] @ p_prev
+            fe.tri_n[v] += 1
+
+        # 1. KLT-track previous features (fixed [cap] slots, masked), seeded
+        #    with the rotation-induced flow prediction when the gyro is
+        #    available — rotation dominates inter-frame pixel motion and LK's
+        #    basin is only ~the window size per pyramid level.
+        if fe.prev_pyr is not None and fe.valid.any():
             pts0 = jnp.asarray(fe.uv, jnp.float32)
-            p1, ok = fklt.track(fe.prev_pyr, pyr, pts0, jnp.ones(len(fe.ids), bool), self.klt_opts)
-            ok = np.asarray(ok)
+            uvn_prev = und(pts0)
+            init_flow = None
+            if R_cam is not None:
+                b = jnp.concatenate([uvn_prev, jnp.ones_like(uvn_prev[:, :1])], axis=1)
+                b_rot = b @ R_cam.T                       # bearings in the new frame
+                pred = jax.vmap(lambda p: cams.project(p, zeta, self.eng.cam_model)[0])(b_rot)
+                flow = (pred - pts0).astype(jnp.float32)
+                # Trust the prior only where the rotated bearing stays in
+                # front of the camera and the prediction is finite.
+                good = (b_rot[:, 2] > 0.1) & jnp.all(jnp.isfinite(flow), axis=1)
+                init_flow = jnp.where(good[:, None], flow, 0.0)
+            p1, ok = fklt.track(fe.prev_pyr, pyr, pts0, jnp.asarray(fe.valid),
+                                self.klt_opts, init_flow)
+            ok_np = np.array(ok)  # writable copy (np.asarray of a jax array is read-only)
 
             # 1b. Gyro-aided RANSAC outlier gate over the tracked matches.
-            if imu_t is not None and imu_w is not None and ok.sum() >= 8:
-                from ov_plane_tpu.frontend.ransac import RansacOptions, gyro_ransac, integrate_gyro
-                from ov_plane_tpu.ops import cams
-                from ov_plane_tpu.ops.quat import quat_2_rot
+            if R_cam is not None and ok_np.sum() >= 8:
+                from ov_plane_tpu.frontend.ransac import RansacOptions, gyro_ransac
 
-                bg = state.imu[10:13]
-                # Integrate the entire provided window (the caller passes the
-                # inter-frame IMU segment; padding is masked by clipping).
-                R_imu = integrate_gyro(jnp.asarray(imu_t), jnp.asarray(imu_w),
-                                       -1e30, 1e30, bg)
-                R_ItoC = quat_2_rot(state.calib_cam[0:4])
-                R_cam = R_ItoC @ R_imu @ R_ItoC.T
-                zeta = state.cam_zeta
-                und = jax.vmap(lambda uv: cams.undistort(uv, zeta, self.eng.cam_model))
-                uvn_prev = und(jnp.asarray(fe.uv))
                 uvn_cur = und(p1)
-                inl, _, _ = gyro_ransac(uvn_prev, uvn_cur, jnp.asarray(ok), R_cam, RansacOptions())
-                ok = ok & np.asarray(inl)
+                inl, _, _ = gyro_ransac(uvn_prev, uvn_cur, ok, R_cam, RansacOptions())
+                ok_np = ok_np & np.asarray(inl)
 
-            fe.ids = fe.ids[ok]
-            fe.uv = np.asarray(p1)[ok]
+            p1_np = np.asarray(p1)
+            fe.uv = np.where(ok_np[:, None], p1_np, fe.uv)
+            fe.valid = ok_np
+            fe.ids = np.where(fe.valid, fe.ids, -1)
         else:
-            fe.ids = np.zeros(0, np.int64)
-            fe.uv = np.zeros((0, 2))
+            fe.valid[:] = False
+            fe.ids[:] = -1
 
-        # 2. Top up with FAST detections away from existing tracks.
-        n_needed = cfg.num_pts + cfg.num_pts_plane - len(fe.ids)
+        # 2. Top up with FAST detections away from existing tracks, written
+        #    into free slots (detect_grid shape is capacity-fixed).
+        n_needed = min(cfg.num_pts + cfg.num_pts_plane, fe.cap) - int(fe.valid.sum())
         if n_needed > 0:
-            occupied = jnp.asarray(fe.uv if len(fe.uv) else np.zeros((1, 2)), jnp.float32)
-            occ_mask = jnp.asarray(np.ones(max(len(fe.uv), 1), bool) if len(fe.uv) else np.zeros(1, bool))
+            occupied = jnp.asarray(fe.uv, jnp.float32)
+            occ_mask = jnp.asarray(fe.valid)
             new_uv, new_ok = ffast.detect_grid(pyr[0], occupied, occ_mask, self.fast_opts, h, w)
             new_uv = np.asarray(new_uv)[np.asarray(new_ok)][:n_needed]
-            new_ids = np.arange(self.fe.next_id, self.fe.next_id + len(new_uv))
-            self.fe.next_id += len(new_uv)
-            fe.ids = np.concatenate([fe.ids, new_ids])
-            fe.uv = np.vstack([fe.uv, new_uv]) if len(fe.uv) else new_uv
+            free = np.nonzero(~fe.valid)[0][: len(new_uv)]
+            new_ids = np.arange(fe.next_id, fe.next_id + len(free))
+            fe.next_id += len(free)
+            fe.ids[free] = new_ids
+            fe.uv[free] = new_uv[: len(free)]
+            fe.valid[free] = True
+            fe.reset_slots(free)
 
         fe.prev_pyr = pyr
 
@@ -136,47 +226,69 @@ class VisionPipeline:
         if self.aruco is not None:
             a_ids, a_uv = self.aruco.detect(img)
             if len(a_ids):
-                # Prepend: fiducial corners are priority features (the
-                # reference routes them to SLAM ahead of natural features)
-                # and must survive the fixed-size observation truncation.
-                keep = ~np.isin(fe.ids, a_ids)
-                fe.ids = np.concatenate([a_ids, fe.ids[keep]])
-                fe.uv = np.vstack([a_uv, fe.uv[keep]]) if keep.any() else a_uv
+                # Drop any slot already carrying one of these ids, then place
+                # the fiducial corners in free slots (evicting natural
+                # features if the bank is full — they are priority features:
+                # the reference routes them to SLAM ahead of natural ones).
+                stale = np.isin(fe.ids, a_ids) & fe.valid
+                fe.valid[stale] = False
+                fe.ids[stale] = -1
+                free = np.nonzero(~fe.valid)[0]
+                if len(free) < len(a_ids):
+                    evict = np.nonzero(fe.valid)[0][: len(a_ids) - len(free)]
+                    fe.valid[evict] = False
+                    fe.ids[evict] = -1
+                    free = np.nonzero(~fe.valid)[0]
+                free = free[: len(a_ids)]
+                fe.ids[free] = a_ids[: len(free)]
+                fe.uv[free] = a_uv[: len(free)]
+                fe.valid[free] = True
+                fe.reset_slots(free)
 
         # 3. Triangulate active tracks from the bank window (device, batched)
         #    → plane detection on the host.
         feat2plane: dict = {}
         plane2old: dict = {}
-        if int(state.num_clones) >= 3 and len(fe.ids) > 0:
-            clone_active = np.asarray(jnp.isfinite(state.clones_t))
+        tp = cfg.trackplane
+        if int(state.num_clones) >= 1 and (fe.tri_n >= tp.feat_init_min_obs).any():
             clones = clone_set_from_state(state)
-            bank_ids = np.asarray(bank.fid)
-            eq = fe.ids[:, None] == bank_ids[None, :]
-            has = eq.any(axis=1)
-            rows = eq.argmax(axis=1)
-            if has.any():
-                uvn = bank.uvn[jnp.asarray(rows)]
-                masks = bank.mask[jnp.asarray(rows)] & jnp.asarray(has)[:, None] & jnp.asarray(clone_active)[None, :]
-                tri_opts = TriangulationOptions(min_dist=0.1, max_dist=60.0)
-                p3, ok3 = triangulate(uvn, masks, clones.R_GtoC, clones.p_CinG, tri_opts)
-                # Current camera pose = newest clone.
-                newest = int(np.asarray(state.newest_clone_slot))
-                R_GtoC = np.asarray(clones.R_GtoC[newest])
-                p_CinG = np.asarray(clones.p_CinG[newest])
+            newest = int(np.asarray(state.newest_clone_slot))
+            R_GtoC = np.asarray(clones.R_GtoC[newest])
+            p_CinG = np.asarray(clones.p_CinG[newest])
+            # Solve every mature slot's accumulated system (batched 3x3) and
+            # gate exactly like the reference (:668-680): condition number,
+            # in-front depth window, finiteness.
+            enough = fe.valid & (fe.tri_n >= tp.feat_init_min_obs)
+            A = fe.tri_A + np.where(enough, 0.0, 1.0)[:, None, None] * np.eye(3)
+            with np.errstate(all="ignore"):
+                p3 = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
+                sv = np.linalg.svd(fe.tri_A, compute_uv=False)
+                cond = sv[:, 0] / np.maximum(sv[:, 2], 1e-18)
+            depth = (p3 - p_CinG) @ R_GtoC[2]
+            ok3 = (enough & (cond <= tp.max_cond_number)
+                   & (depth >= tp.min_dist) & (depth <= tp.max_dist)
+                   & np.isfinite(p3).all(axis=1))
+            if ok3.any():
                 feat2plane, plane2old = fe.plane_tracker.update(
-                    fe.ids, fe.uv, np.asarray(p3), np.asarray(ok3) & has, R_GtoC, p_CinG
+                    fe.ids, fe.uv, p3, ok3, R_GtoC, p_CinG
                 )
 
-        # 4. Emit fixed-shape observation arrays.
+        # 4. Emit fixed-shape observation arrays. Fiducial (ArUco) ids go
+        #    first so they survive the truncation to O entries.
         O = cfg.tpu.max_obs_per_frame
         obs_id = np.full(O, -1, np.int32)
         obs_uv = np.zeros((O, 2))
         obs_plane = np.full(O, -1, np.int32)
-        n = min(len(fe.ids), O)
-        obs_id[:n] = fe.ids[:n]
-        obs_uv[:n] = fe.uv[:n]
+        sel = np.nonzero(fe.valid)[0]
+        if self.aruco is not None and len(sel):
+            pri = fe.ids[sel] < self.aruco.first_free_id
+            sel = np.concatenate([sel[pri], sel[~pri]])
+        sel = sel[:O]
+        n = len(sel)
+        obs_id[:n] = fe.ids[sel]
+        obs_uv[:n] = fe.uv[sel]
         for k in range(n):
-            obs_plane[k] = feat2plane.get(int(fe.ids[k]), -1)
+            obs_plane[k] = feat2plane.get(int(obs_id[k]), -1)
 
         # Merge pairs for the state's plane id bookkeeping (StateHelper::
         # merge_planes_and_marginalize input): apply via models.plane_init.merge_planes.

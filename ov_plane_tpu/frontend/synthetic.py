@@ -53,6 +53,15 @@ def render_frame(feat_p: np.ndarray, R_GtoI: np.ndarray, p_IinG: np.ndarray,
             continue
         rng = np.random.default_rng(1000 + int(idx[k]))  # stable per-feature texture
         master = rng.uniform(0.45, 1.0, size=(T, T)).astype(np.float32)
+        # Band-limit the texture (camera-PSF analogue): iid per-pixel noise
+        # has no valid gradient linearization, which costs LK ~1 px of
+        # subpixel accuracy — enough to destroy downstream triangle normals.
+        k5 = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32)
+        k5 /= k5.sum()
+        master = np.apply_along_axis(lambda r: np.convolve(r, k5, "same"), 0, master)
+        master = np.apply_along_axis(lambda r: np.convolve(r, k5, "same"), 1, master)
+        lo, hi = master.min(), master.max()
+        master = 0.45 + 0.55 * (master - lo) / max(hi - lo, 1e-6)
         master[T // 2, T // 2] = 1.0
         # Bilinear resample of the master onto the (2*half+1)² footprint,
         # anchored at the (subpixel) projection.
@@ -69,4 +78,114 @@ def render_frame(feat_p: np.ndarray, R_GtoI: np.ndarray, p_IinG: np.ndarray,
             + master[ty0 + 1, tx0] * (1 - fx) * fy + master[ty0 + 1, tx0 + 1] * fx * fy
         )
         img[iv - half : iv + half + 1, iu - half : iu + half + 1] = patch
+    return np.clip(img, 0.0, 1.0)
+
+
+_BEARING_CACHE: dict = {}
+
+
+def _pixel_bearings(zeta: np.ndarray, wh, model) -> np.ndarray:
+    """[H, W, 3] unit-less camera-frame bearings (x, y, 1) for every pixel,
+    through the full distortion model (Newton undistort, cached per calib)."""
+    key = (bytes(np.asarray(zeta, np.float64)), tuple(wh), int(model))
+    if key in _BEARING_CACHE:
+        return _BEARING_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    w, h = wh
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64) + 0.5,
+                         np.arange(h, dtype=np.float64) + 0.5)
+    uv = np.stack([uu.ravel(), vv.ravel()], axis=1)
+    und = jax.jit(jax.vmap(lambda p: cams.undistort(p, jnp.asarray(zeta), model)))
+    uvn = np.asarray(und(jnp.asarray(uv)))
+    bear = np.concatenate([uvn, np.ones((uvn.shape[0], 1))], axis=1).reshape(h, w, 3)
+    _BEARING_CACHE[key] = bear
+    return bear
+
+
+def _value_noise(s: np.ndarray, t: np.ndarray, cell: float, seed: int) -> np.ndarray:
+    """Smooth 2D value noise at world coords (s, t), one octave."""
+    def hash01(ix, iy):
+        n = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263 + seed * 1442695041) & 0x7FFFFFFF
+        n = (n ^ (n >> 13)) * 1274126177 & 0x7FFFFFFF
+        return (n & 0xFFFF) / 65535.0
+
+    x = s / cell
+    y = t / cell
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = x - x0
+    fy = y - y0
+    fx = fx * fx * (3 - 2 * fx)   # smoothstep
+    fy = fy * fy * (3 - 2 * fy)
+    v00 = hash01(x0, y0)
+    v10 = hash01(x0 + 1, y0)
+    v01 = hash01(x0, y0 + 1)
+    v11 = hash01(x0 + 1, y0 + 1)
+    return (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+            + v01 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def render_frame_textured(plane_corners: np.ndarray, plane_normal: np.ndarray,
+                          plane_d: np.ndarray, feat_p: np.ndarray,
+                          R_GtoI: np.ndarray, p_IinG: np.ndarray,
+                          R_ItoC: np.ndarray, p_IinC: np.ndarray,
+                          zeta: np.ndarray, wh, model=cams.RADTAN,
+                          texture_cell: float = 0.22, seed: int = 0,
+                          feat_patch_world: float = 0.12) -> np.ndarray:
+    """Raycast render of the simulator's cuboid room with procedurally
+    textured planes, plus the measurement-consistent feature blobs on top.
+
+    Unlike `render_frame` (isolated blobs on black — pathologically hard for
+    pyramidal LK because coarse levels see nothing), every pixel that hits a
+    room plane gets geometrically consistent surface texture: the world-space
+    (s, t) coordinates of the ray/plane hit index two octaves of smooth value
+    noise. Pyramid tracking, FAST detection away from feature anchors, and
+    Delaunay-normal plane clustering all then behave as on real imagery.
+
+    plane_corners [P,4,3] (tl, tr, bl, br), plane_normal [P,3], plane_d [P]
+    with n·x = d (SimPlanes layout).
+    """
+    w, h = wh
+    bear_c = _pixel_bearings(zeta, wh, model)               # [H, W, 3]
+    R_GtoC = R_ItoC @ R_GtoI
+    c_G = p_IinG - R_GtoC.T @ p_IinC                         # camera center
+    dir_G = np.einsum("ij,hwj->hwi", R_GtoC.T, bear_c)       # [H, W, 3]
+
+    P = plane_corners.shape[0]
+    tl = plane_corners[:, 0]
+    e1 = plane_corners[:, 1] - tl                            # tl→tr
+    e2 = plane_corners[:, 2] - tl                            # tl→bl
+    l1 = np.linalg.norm(e1, axis=1)
+    l2 = np.linalg.norm(e2, axis=1)
+    e1u = e1 / l1[:, None]
+    e2u = e2 / l2[:, None]
+
+    best_t = np.full((h, w), np.inf)
+    tex = np.full((h, w), 0.35, np.float32)
+    for p in range(P):
+        n = plane_normal[p]
+        denom = np.einsum("hwi,i->hw", dir_G, n)
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t_hit = (plane_d[p] - c_G @ n) / denom
+        x = c_G[None, None, :] + t_hit[..., None] * dir_G    # [H, W, 3]
+        rel = x - tl[p]
+        s_c = np.einsum("hwi,i->hw", rel, e1u[p])
+        t_c = np.einsum("hwi,i->hw", rel, e2u[p])
+        hit = (t_hit > 0.05) & (s_c >= 0) & (s_c <= l1[p]) & (t_c >= 0) & (t_c <= l2[p]) & (t_hit < best_t)
+        if not hit.any():
+            continue
+        n1 = _value_noise(s_c, t_c, texture_cell, seed + 13 * p)
+        n2 = _value_noise(s_c, t_c, texture_cell * 0.31, seed + 13 * p + 7)
+        val = 0.18 + 0.55 * (0.65 * n1 + 0.35 * n2)
+        best_t = np.where(hit, t_hit, best_t)
+        tex = np.where(hit, val.astype(np.float32), tex)
+
+    img = tex
+    # Feature blobs on top (exact anchors for FAST/the measurement model).
+    blob = render_frame(feat_p, R_GtoI, p_IinG, R_ItoC, p_IinC, zeta, wh,
+                        model=model, patch_world=feat_patch_world, seed=seed)
+    mask = blob > 0.12                                       # blob footprint
+    img = np.where(mask, blob, img)
     return np.clip(img, 0.0, 1.0)

@@ -139,6 +139,11 @@ class TrackPlaneOptions:
     check_old_feats: bool = True
     filter_num_feat: int = 4
     filter_z_thresh: float = 5.0
+    # Incremental whole-track triangulation gates (TrackPlaneOptions.h:77-80).
+    feat_init_min_obs: int = 4
+    min_dist: float = 0.10
+    max_dist: float = 60.0
+    max_cond_number: float = 8000.0
 
 
 @dataclass
@@ -289,6 +294,10 @@ _YAML_MAP = {
     "plane_max_pairwise_px": ("trackplane", "max_pairwise_px"),
     "plane_min_norms": ("trackplane", "min_norms"),
     "plane_check_old_feats": ("trackplane", "check_old_feats"),
+    "plane_feat_min_obs": ("trackplane", "feat_init_min_obs"),
+    "plane_min_dist": ("trackplane", "min_dist"),
+    "plane_max_dist": ("trackplane", "max_dist"),
+    "plane_max_cond_number": ("trackplane", "max_cond_number"),
     "plane_filter_num_feat": ("trackplane", "filter_num_feat"),
     "plane_filter_z_thresh": ("trackplane", "filter_z_thresh"),
     "gravity_mag": (None, "gravity_mag"),

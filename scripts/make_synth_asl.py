@@ -27,9 +27,10 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from ov_plane_tpu.frontend.synthetic import render_frame
+from ov_plane_tpu.frontend.synthetic import render_frame, render_frame_textured
 from ov_plane_tpu.ops.quat import quat_2_rot
-from ov_plane_tpu.sim.simulator import build_sim
+from ov_plane_tpu.sim.simulator import build_sim, generate_planes
+from ov_plane_tpu.sim.trajectory import get_trajectory
 from ov_plane_tpu.utils.config import sim_config
 
 
@@ -45,12 +46,29 @@ def main():
                     help="omit the groundtruth csv (forces static/dynamic init)")
     ap.add_argument("--skip-start", type=float, default=0.0,
                     help="seconds of initial frames to drop (start in motion)")
+    ap.add_argument("--freq-cam", type=float, default=20.0,
+                    help="camera rate (EuRoC runs 20 Hz; below ~15 Hz the "
+                         "inter-frame flow on this room-scan trajectory "
+                         "exceeds any pyramidal tracker's basin)")
+    ap.add_argument("--room-margin", type=float, default=1.0,
+                    help="cuboid-room margin beyond the trajectory bbox "
+                         "(sim_min_feature_gen_dist). Close walls (~1-1.5 m "
+                         "viewing distance, like the reference's AR-Table "
+                         "scenes) keep triangulation depth noise low enough "
+                         "for normal-based plane clustering — depth error "
+                         "grows with z².")
+    ap.add_argument("--textured", action="store_true",
+                    help="raycast-render the cuboid room with procedural "
+                         "plane textures (realistic dense texture for "
+                         "KLT/FAST) instead of isolated feature blobs")
     args = ap.parse_args()
 
     cfg = sim_config()
     cfg.sim.traj_duration = args.duration
     cfg.num_pts = args.num_pts
     cfg.num_pts_plane = args.num_pts_plane
+    cfg.sim.freq_cam = args.freq_cam
+    cfg.sim.min_feature_gen_distance = args.room_margin
     sim = build_sim(cfg, max_obs=cfg.tpu.max_obs_per_frame)
 
     base = os.path.join(args.out, "mav0")
@@ -71,6 +89,9 @@ def main():
     p_IinC = np.asarray(cfg.cam_extrinsics[4:7])
     feat_p = np.asarray(sim.feat_p)
     cam_t = np.asarray(sim.cam_t_imu)
+    if args.textured:
+        _, traj_pos, _ = get_trajectory(cfg.sim)
+        planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
     n_img = 0
     with open(os.path.join(base, "cam0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],filename\n")
@@ -78,8 +99,13 @@ def main():
             if t < args.skip_start:
                 continue
             R = np.asarray(quat_2_rot(sim.gt_q[k]))
-            img = render_frame(feat_p, R, np.asarray(sim.gt_p[k]), R_ItoC, p_IinC,
-                               zeta, cfg.cam_wh)
+            if args.textured:
+                img = render_frame_textured(
+                    planes.corners, planes.normal, planes.d, feat_p, R,
+                    np.asarray(sim.gt_p[k]), R_ItoC, p_IinC, zeta, cfg.cam_wh)
+            else:
+                img = render_frame(feat_p, R, np.asarray(sim.gt_p[k]), R_ItoC, p_IinC,
+                                   zeta, cfg.cam_wh)
             name = f"{int(t * 1e9)}.png"
             cv2.imwrite(os.path.join(base, "cam0", "data", name),
                         (img * 255).astype(np.uint8))

@@ -107,6 +107,17 @@ def main():
         cfg.cam_intrinsics = sc.cam_intrinsics
         cfg.cam_extrinsics = sc.cam_extrinsics
         cfg.histogram_method = "NONE"
+        # Tracker capacity must not exceed the filter's per-frame observation
+        # budget: with more live tracks than obs slots, the emit stage feeds
+        # only the oldest slots — exactly the tracks with the most
+        # accumulated template drift — and the filter inherits their bias.
+        cfg.num_pts = 150
+        cfg.num_pts_plane = 0
+        cfg.tpu.max_obs_per_frame = 160
+        # Frontend noise on the synthetic renderer is ~1.5-2 px (vs ~0.5 px
+        # for OpenCV KLT on real texture); whiten accordingly.
+        cfg.msckf_options.sigma_pix = 2.0
+        cfg.slam_options.sigma_pix = 2.0
     if args.config:
         cfg = load_yaml(args.config, base=cfg)
     cfg.state.use_plane_constraint = args.use_planes
@@ -277,7 +288,7 @@ def main():
         seg = slice(lo, min(lo + W, len(imu_t)))
         t0 = time.perf_counter()
         img = load_image(cam_files[i])
-        obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg])
+        obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg], t_new=t)
         t1 = time.perf_counter()
         frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
         state, bank, out = step(eng, state, bank, frame)
