@@ -86,7 +86,12 @@ _BEARING_CACHE: dict = {}
 
 def _pixel_bearings(zeta: np.ndarray, wh, model) -> np.ndarray:
     """[H, W, 3] unit-less camera-frame bearings (x, y, 1) for every pixel,
-    through the full distortion model (Newton undistort, cached per calib)."""
+    through the full distortion model (Newton undistort, cached per calib).
+
+    Convention: pixel [v, u]'s center is AT distorted image coordinate
+    (u, v) — the OpenCV convention shared by the KLT tracker, the blob
+    renderer, and the filter's measurement model. (A +0.5 offset here is a
+    systematic half-pixel bias on every synthetic measurement.)"""
     key = (bytes(np.asarray(zeta, np.float64)), tuple(wh), int(model))
     if key in _BEARING_CACHE:
         return _BEARING_CACHE[key]
@@ -94,8 +99,8 @@ def _pixel_bearings(zeta: np.ndarray, wh, model) -> np.ndarray:
     import jax.numpy as jnp
 
     w, h = wh
-    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64) + 0.5,
-                         np.arange(h, dtype=np.float64) + 0.5)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
     uv = np.stack([uu.ravel(), vv.ravel()], axis=1)
     und = jax.jit(jax.vmap(lambda p: cams.undistort(p, jnp.asarray(zeta), model)))
     uvn = np.asarray(und(jnp.asarray(uv)))
@@ -176,9 +181,24 @@ def render_frame_textured(plane_corners: np.ndarray, plane_normal: np.ndarray,
         hit = (t_hit > 0.05) & (s_c >= 0) & (s_c <= l1[p]) & (t_c >= 0) & (t_c <= l2[p]) & (t_hit < best_t)
         if not hit.any():
             continue
-        n1 = _value_noise(s_c, t_c, texture_cell, seed + 13 * p)
-        n2 = _value_noise(s_c, t_c, texture_cell * 0.31, seed + 13 * p + 7)
-        val = 0.18 + 0.55 * (0.65 * n1 + 0.35 * n2)
+        # Three octaves: the finest (~2 cm cells) keeps surfaces trackable
+        # even at arm's-length viewing distance — a single coarse octave is
+        # locally a featureless gradient up close and LK slides on it.
+        # Each octave is FADED OUT as its on-screen cell size approaches the
+        # pixel pitch (mip-style band-limiting): point-sampling sub-Nyquist
+        # noise aliases, and aliased texture decorrelates between viewpoints
+        # — measured ~0.7 px of irreducible LK error on a pure-rotation pair,
+        # an order of magnitude above the tracker's true accuracy.
+        f_px = 0.5 * (zeta[0] + zeta[1])
+        cell_px_1 = texture_cell * f_px / np.maximum(t_hit, 0.05)
+        octs = []
+        wsum = np.zeros_like(t_hit)
+        for scale_o, amp_o, ds in ((1.0, 0.5, 0), (0.31, 0.3, 7), (0.093, 0.2, 11)):
+            w_o = amp_o * np.clip((cell_px_1 * scale_o - 2.0) / 3.0, 0.0, 1.0)
+            n_o = _value_noise(s_c, t_c, texture_cell * scale_o, seed + 13 * p + ds)
+            octs.append(w_o * n_o)
+            wsum += w_o
+        val = 0.18 + 0.55 * np.sum(octs, axis=0) / np.maximum(wsum, 1e-6)
         best_t = np.where(hit, t_hit, best_t)
         tex = np.where(hit, val.astype(np.float32), tex)
 
