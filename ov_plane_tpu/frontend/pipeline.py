@@ -65,11 +65,16 @@ class FrontendState:
         # makes the triangle normals clean enough for plane clustering.
         self.tri_A = np.zeros((self.cap, 3, 3))
         self.tri_b = np.zeros((self.cap, 3))
+        # Scalar completing the accumulated quadratic Σ‖(I−bbᵀ)(p−c_i)‖² =
+        # pᵀAp − 2bᵀp + tri_c: gives the track's ray-intersection RMS without
+        # storing per-observation rays (the whole-track residual gate).
+        self.tri_c = np.zeros(self.cap)
         self.tri_n = np.zeros(self.cap, np.int32)
 
     def reset_slots(self, idx):
         self.tri_A[idx] = 0.0
         self.tri_b[idx] = 0.0
+        self.tri_c[idx] = 0.0
         self.tri_n[idx] = 0
 
 
@@ -164,6 +169,7 @@ class VisionPipeline:
             v = fe.valid
             fe.tri_A[v] += Ai[v]
             fe.tri_b[v] += Ai[v] @ p_prev
+            fe.tri_c[v] += np.einsum("nij,i,j->n", Ai[v], p_prev, p_prev)
             fe.tri_n[v] += 1
 
         # 1. KLT-track previous features (fixed [cap] slots, masked), seeded
@@ -265,8 +271,15 @@ class VisionPipeline:
                 sv = np.linalg.svd(fe.tri_A, compute_uv=False)
                 cond = sv[:, 0] / np.maximum(sv[:, 2], 1e-18)
             depth = (p3 - p_CinG) @ R_GtoC[2]
+            # Whole-track ray-intersection RMS from the accumulated quadratic
+            # (no per-observation storage): Σ‖(I−bbᵀ)(p−c_i)‖² = pᵀAp−2bᵀp+c.
+            quad = (np.einsum("ni,nij,nj->n", p3, fe.tri_A, p3)
+                    - 2.0 * np.einsum("ni,ni->n", p3, fe.tri_b) + fe.tri_c)
+            ray_rms = np.sqrt(np.maximum(quad, 0.0) / np.maximum(fe.tri_n, 1))
+            rms_gate = np.maximum(tp.max_ray_rms_rel * np.abs(depth), tp.max_ray_rms_abs)
             ok3 = (enough & (cond <= tp.max_cond_number)
                    & (depth >= tp.min_dist) & (depth <= tp.max_dist)
+                   & (ray_rms <= rms_gate)
                    & np.isfinite(p3).all(axis=1))
             if ok3.any():
                 feat2plane, plane2old = fe.plane_tracker.update(

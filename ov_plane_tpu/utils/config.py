@@ -144,6 +144,11 @@ class TrackPlaneOptions:
     min_dist: float = 0.10
     max_dist: float = 60.0
     max_cond_number: float = 8000.0
+    # Whole-track ray-intersection RMS gate: reject triangulations whose
+    # accumulated perpendicular ray distances don't meet.
+    # Gate = max(rel · depth, abs) meters.
+    max_ray_rms_rel: float = 0.02
+    max_ray_rms_abs: float = 0.03
 
 
 @dataclass
