@@ -161,3 +161,42 @@ def test_clahe_improves_local_contrast():
     # Local contrast in the dark half increases.
     assert out[:32].std() > img[:32].std()
     assert np.isfinite(out).all()
+
+
+def test_ray_rms_accumulator_matches_direct_sum():
+    """The (A, b, c) quadratic accumulated by the pipeline (one rank-1 update
+    per observation, pipeline.py step 0b) reproduces the direct per-ray
+    perpendicular-distance sum: a clean track's RMS ~ noise level, a track
+    with one gross mistrack blows past the gate."""
+    rng = np.random.default_rng(3)
+    p_gt = np.array([1.0, -0.5, 4.0])
+    centers = rng.uniform(-1, 1, size=(8, 3))
+
+    def accumulate(bearing_noise, corrupt_one=False):
+        A = np.zeros((3, 3))
+        b = np.zeros(3)
+        c = 0.0
+        dists2 = []
+        for k, ci in enumerate(centers):
+            d = p_gt - ci
+            d = d / np.linalg.norm(d)
+            d = d + bearing_noise * rng.normal(size=3)
+            if corrupt_one and k == 3:
+                d = d + np.array([0.4, -0.3, 0.2])  # gross mistrack
+            d = d / np.linalg.norm(d)
+            Ai = np.eye(3) - np.outer(d, d)
+            A += Ai
+            b += Ai @ ci
+            c += ci @ Ai @ ci
+            dists2.append(p_gt @ Ai @ p_gt - 2 * ci @ Ai @ p_gt + ci @ Ai @ ci)
+        quad = p_gt @ A @ p_gt - 2 * b @ p_gt + c
+        np.testing.assert_allclose(quad, np.sum(dists2), rtol=1e-10, atol=1e-12)
+        return np.sqrt(max(quad, 0.0) / len(centers))
+
+    assert accumulate(0.0) < 1e-9  # exact rays meet exactly
+    clean = accumulate(0.002)
+    bad = accumulate(0.002, corrupt_one=True)
+    depth = np.linalg.norm(p_gt)
+    gate = max(0.02 * depth, 0.03)  # TrackPlaneOptions defaults
+    assert clean < gate, (clean, gate)
+    assert bad > gate, (bad, gate)
