@@ -209,6 +209,9 @@ class VioConfig:
     sim: SimOptions = field(default_factory=SimOptions)
     tpu: TpuOptions = field(default_factory=TpuOptions)
 
+    # Console verbosity (YAML `verbosity`, applied to utils.printer on load).
+    verbosity: str = "INFO"
+
     gravity_mag: float = 9.81
     calib_camimu_dt: float = 0.0
     # Per-camera intrinsics: model ("radtan"/"equi"), [fx fy cx cy d0..d3], (w, h).
@@ -305,6 +308,7 @@ _YAML_MAP = {
     "plane_max_cond_number": ("trackplane", "max_cond_number"),
     "plane_filter_num_feat": ("trackplane", "filter_num_feat"),
     "plane_filter_z_thresh": ("trackplane", "filter_z_thresh"),
+    "verbosity": (None, "verbosity"),
     "gravity_mag": (None, "gravity_mag"),
     "num_pts": (None, "num_pts"),
     "num_pts_plane": (None, "num_pts_plane"),
@@ -375,6 +379,12 @@ def load_yaml(path: str, base: Optional[VioConfig] = None, overrides: Optional[D
         else:
             unknown[key] = value
     cfg._unknown_keys = unknown  # type: ignore[attr-defined]
+    # Apply verbosity on load (run_simulation.cpp:77-79) and emit the
+    # print-on-load audit at DEBUG (VioManagerOptions.h:68-201).
+    from ov_plane_tpu.utils import printer
+
+    printer.set_print_level(cfg.verbosity)
+    printer.print_config(cfg)
     return cfg
 
 
