@@ -70,12 +70,25 @@ class FrontendState:
         # storing per-observation rays (the whole-track residual gate).
         self.tri_c = np.zeros(self.cap)
         self.tri_n = np.zeros(self.cap, np.int32)
+        # Rolling per-slot pixel history (oldest first) for the track-history
+        # debug image (eval/trackviz.draw_history; reference
+        # VioManager::get_historical_viz_image).
+        self.hist_len = 15
+        self.hist_uv = np.zeros((self.hist_len, self.cap, 2))
+        self.hist_valid = np.zeros((self.hist_len, self.cap), bool)
 
     def reset_slots(self, idx):
         self.tri_A[idx] = 0.0
         self.tri_b[idx] = 0.0
         self.tri_c[idx] = 0.0
         self.tri_n[idx] = 0
+        self.hist_valid[:, idx] = False
+
+    def push_history(self):
+        self.hist_uv[:-1] = self.hist_uv[1:]
+        self.hist_valid[:-1] = self.hist_valid[1:]
+        self.hist_uv[-1] = self.uv
+        self.hist_valid[-1] = self.valid
 
 
 class VisionPipeline:
@@ -250,6 +263,8 @@ class VisionPipeline:
                 fe.uv[free] = a_uv[: len(free)]
                 fe.valid[free] = True
                 fe.reset_slots(free)
+
+        fe.push_history()
 
         # 3. Triangulate active tracks from the bank window (device, batched)
         #    → plane detection on the host.

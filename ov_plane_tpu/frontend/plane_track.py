@@ -44,6 +44,10 @@ class PlaneTracker:
     feat_to_plane: Dict[int, int] = field(default_factory=dict)
     plane_to_oldplanes: Dict[int, Set[int]] = field(default_factory=dict)
     curr_plane_id: int = 0
+    # Last frame's gated triangles + normals + pixel positions, kept for the
+    # normal-colored Delaunay debug image (eval/trackviz.draw_delaunay_normals;
+    # reference TrackPlane::display_history_plane).
+    last_viz: Dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
     def _avg_norm(self, norms: List[np.ndarray]) -> np.ndarray:
@@ -72,6 +76,7 @@ class PlaneTracker:
         uv = np.asarray(uv, float)
         p3 = np.asarray(p_FinG, float)
         valid3d = np.asarray(valid3d, bool)
+        self.last_viz = {"uv": {}, "tris": [], "norms": []}
         keep = (ids >= 0) & valid3d
         idx = np.nonzero(keep)[0]
         if len(idx) < 3:
@@ -83,6 +88,7 @@ class PlaneTracker:
         sub_p = p3[idx]
         pos = {int(i): sub_p[k] for k, i in enumerate(sub_ids)}
         pts2 = {int(i): sub_uv[k] for k, i in enumerate(sub_ids)}
+        self.last_viz["uv"] = pts2
 
         # ----- Delaunay + triangle normals (:715-795) ---------------------
         tris = native.delaunay(sub_uv)
@@ -111,6 +117,8 @@ class PlaneTracker:
             p_FinC = R_GtoC @ (pos[i1] - p_CinG)
             if (R_GtoC @ nrm) @ p_FinC < 0:
                 nrm = -nrm
+            self.last_viz["tris"].append((i1, i2, i3))
+            self.last_viz["norms"].append(nrm)
             for i in (i1, i2, i3):
                 hist = self.feat_norms.setdefault(i, [])
                 hist.append(nrm)
