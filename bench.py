@@ -64,6 +64,8 @@ REFERENCE_CPU_FPS = 100.0
 # v5e: batch 128 of the genuinely-batched program (post per-member noise)
 # faults the remote device ("TPU device error"), 64 runs clean.
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# lax.scan unroll factor for the frame loop (compile time vs dispatch overhead).
+UNROLL = int(os.environ.get("BENCH_UNROLL", "1"))
 
 
 def main():
@@ -119,7 +121,8 @@ def main():
             bg0=sim_k.gt_bg_cam[0], ba0=sim_k.gt_ba_cam[0], dtype=dt,
         )
         bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
-        _, _, outs = run_sequence(eng, state, bank, sim_k, imu_window=cfg.tpu.max_imu_per_frame)
+        _, _, outs = run_sequence(eng, state, bank, sim_k, imu_window=cfg.tpu.max_imu_per_frame,
+                                  unroll=UNROLL)
         return outs.p, outs.q, outs.cov_diag_imu
 
     batched = jax.jit(jax.vmap(one_run))

@@ -494,12 +494,15 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     return state, bank, out
 
 
-@functools.partial(jax.jit, static_argnames=("eng", "imu_window"))
-def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data, imu_window: int):
+@functools.partial(jax.jit, static_argnames=("eng", "imu_window", "unroll"))
+def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data, imu_window: int,
+                 unroll: int = 1):
     """Replay a whole simulated sequence under lax.scan (config-1 milestone).
 
     sim_data: a sim.simulator.SimData. Frame 0 is the initialization frame
     (state must already be initialized at sim_data.cam_t_imu[0]).
+    unroll: lax.scan unroll factor — trades compile time/program size for
+    less per-step dispatch overhead on the device.
     """
     n_frames = sim_data.cam_t_imu.shape[0]
 
@@ -518,5 +521,6 @@ def run_sequence(eng: VioEngine, state: VioState, bank: fb.FeatureBank, sim_data
         st, bk, out = step(eng, st, bk, frame)
         return (st, bk), out
 
-    (state, bank), outs = jax.lax.scan(body, (state, bank), jnp.arange(1, n_frames))
+    (state, bank), outs = jax.lax.scan(body, (state, bank), jnp.arange(1, n_frames),
+                                       unroll=unroll)
     return state, bank, outs

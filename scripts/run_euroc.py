@@ -82,6 +82,28 @@ def load_image(path):
     return img
 
 
+def _save_viz_images(out_dir, frame_no, img, fe):
+    """Write the three debug images (eval/trackviz) for this frame."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ov_plane_tpu.eval import trackviz
+
+    os.makedirs(out_dir, exist_ok=True)
+    f2p = dict(fe.plane_tracker.feat_to_plane)
+    viz = fe.plane_tracker.last_viz
+    images = {
+        "active": trackviz.draw_active(img, fe.ids, fe.uv, fe.valid, f2p),
+        "history": trackviz.draw_history(img, fe.hist_uv, fe.hist_valid, fe.ids, f2p),
+        "delaunay": trackviz.draw_delaunay_normals(
+            img, viz.get("uv", {}), viz.get("tris", []), viz.get("norms", [])),
+    }
+    for name, rgb in images.items():
+        plt.imsave(os.path.join(out_dir, f"{name}_{frame_no:05d}.png"), rgb)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True, help="sequence dir containing mav0/")
@@ -93,6 +115,9 @@ def main():
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
     ap.add_argument("--no-gt-init", action="store_true",
                     help="ignore groundtruth for initialization (still used for ATE)")
+    ap.add_argument("--viz-dir", default="",
+                    help="save tracking/plane debug images (active, history, "
+                         "delaunay) here every 25 frames")
     ap.add_argument("--sim-calib", action="store_true",
                     help="use the simulator's camera calibration (for ASL folders "
                          "exported by scripts/make_synth_asl.py) and disable "
@@ -299,6 +324,8 @@ def main():
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
         n_done += 1
+        if args.viz_dir and n_done % 25 == 0:
+            _save_viz_images(args.viz_dir, n_done, img, pipe.fe)
         if n_done % 50 == 0:
             print(f"[euroc] {n_done} frames, t={t:.2f}, p={np.asarray(out.p).round(3)}, "
                   f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}")
