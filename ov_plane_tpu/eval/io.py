@@ -136,3 +136,25 @@ class TimingRecorder:
                 p99=float(np.percentile(col, 99)), max=float(col.max()),
             )
         return out
+
+
+class PlaneStatsRecorder:
+    """Per-frame plane-tracking statistics CSV (the reference's second CSV:
+    TrackPlane::get_tracking_info TrackPlane.cpp:387-461, written at
+    VioManager.cpp:930-947). Columns are PLANE_TRACK_COLUMNS; the frontend
+    supplies everything except `state planes` / `num constraint updates`,
+    which the caller adds after the filter step."""
+
+    def __init__(self):
+        self.rows: List[List[float]] = []
+
+    def add(self, timestamp: float, stats: Dict[str, float]):
+        row = [timestamp] + [float(stats.get(c, 0.0)) for c in PLANE_TRACK_COLUMNS[1:]]
+        self.rows.append(row)
+
+    def write(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write("# " + ",".join(PLANE_TRACK_COLUMNS) + "\n")
+            for row in self.rows:
+                f.write(",".join(f"{v:.9f}" for v in row) + "\n")

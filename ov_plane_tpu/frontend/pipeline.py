@@ -15,6 +15,7 @@ State machine:
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -105,6 +106,7 @@ class VisionPipeline:
             max_features=cfg.num_pts + cfg.num_pts_plane,
         )
         self.fe = FrontendState(cap=cap, plane_tracker=PlaneTracker(cfg.trackplane))
+        self.last_plane_stats: dict = {}
         self.aruco = None
         if cfg.use_aruco:
             from ov_plane_tpu.frontend.aruco import ArucoOptions, ArucoTracker
@@ -271,6 +273,8 @@ class VisionPipeline:
         feat2plane: dict = {}
         plane2old: dict = {}
         tp = cfg.trackplane
+        _tri_t0 = _time.perf_counter()
+        _tri_wall = 0.0
         if int(state.num_clones) >= 1 and (fe.tri_n >= tp.feat_init_min_obs).any():
             clones = clone_set_from_state(state)
             newest = int(np.asarray(state.newest_clone_slot))
@@ -296,10 +300,31 @@ class VisionPipeline:
                    & (depth >= tp.min_dist) & (depth <= tp.max_dist)
                    & (ray_rms <= rms_gate)
                    & np.isfinite(p3).all(axis=1))
+            _tri_wall = _time.perf_counter() - _tri_t0
             if ok3.any():
                 feat2plane, plane2old = fe.plane_tracker.update(
                     fe.ids, fe.uv, p3, ok3, R_GtoC, p_CinG
                 )
+
+        # Plane-tracking statistics row (reference get_tracking_info,
+        # TrackPlane.cpp:387-461): frontend columns; the caller may add
+        # `state planes` / `num constraint updates` after the filter step
+        # before handing the row to eval.io.PlaneStatsRecorder.
+        n_planes_front = len(set(feat2plane.values()))
+        tl = fe.tri_n[fe.valid].astype(float)
+        tmg = fe.plane_tracker.last_timing
+        self.last_plane_stats = {
+            "feat/plane": (len(feat2plane) / n_planes_front) if n_planes_front else 0.0,
+            "num plane": float(n_planes_front),
+            "track length avg": float(tl.mean()) if len(tl) else 0.0,
+            "track length std": float(tl.std()) if len(tl) else 0.0,
+            "track length max": float(tl.max()) if len(tl) else 0.0,
+            "num constraint updates": float(len(feat2plane)),
+            "triangulation": _tri_wall,
+            "delaunay": tmg.get("delaunay", 0.0),
+            "matching": tmg.get("matching", 0.0),
+            "total": _time.perf_counter() - _tri_t0,
+        }
 
         # 4. Emit fixed-shape observation arrays. Fiducial (ArUco) ids go
         #    first so they survive the truncation to O entries.

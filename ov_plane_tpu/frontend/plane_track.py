@@ -48,6 +48,8 @@ class PlaneTracker:
     # normal-colored Delaunay debug image (eval/trackviz.draw_delaunay_normals;
     # reference TrackPlane::display_history_plane).
     last_viz: Dict = field(default_factory=dict)
+    # Sub-stage wall times of the last update (TrackPlane.cpp:1110-1120).
+    last_timing: Dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
     def _avg_norm(self, norms: List[np.ndarray]) -> np.ndarray:
@@ -81,6 +83,7 @@ class PlaneTracker:
         idx = np.nonzero(keep)[0]
         if len(idx) < 3:
             self._prune(set(ids[ids >= 0].tolist()))
+            self.last_timing = {"delaunay": 0.0, "matching": 0.0}
             return dict(self.feat_to_plane), {k: set(v) for k, v in self.plane_to_oldplanes.items()}
 
         sub_ids = ids[idx]
@@ -91,6 +94,9 @@ class PlaneTracker:
         self.last_viz["uv"] = pts2
 
         # ----- Delaunay + triangle normals (:715-795) ---------------------
+        import time as _time
+
+        _t0 = _time.perf_counter()
         tris = native.delaunay(sub_uv)
         neighbors: Dict[int, Set[int]] = {}
         for t in tris:
@@ -126,6 +132,7 @@ class PlaneTracker:
                     del hist[: len(hist) - self.opts.max_norm_count]
 
         # ----- pairwise matching + id merging (:814-979) ------------------
+        _t1 = _time.perf_counter()
         avg = {i: self._avg_norm(v) for i, v in self.feat_norms.items()}
         done: Set[int] = set()
         for featid, norms in self.feat_norms.items():
@@ -217,6 +224,7 @@ class PlaneTracker:
 
         # ----- prune to active, well-supported planes (:1060-1095) --------
         self._prune(active_ids)
+        self.last_timing = {"delaunay": _t1 - _t0, "matching": _time.perf_counter() - _t1}
         return dict(self.feat_to_plane), {k2: set(v) for k2, v in self.plane_to_oldplanes.items()}
 
     def _prune(self, active_ids: Set[int]):

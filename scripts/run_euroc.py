@@ -110,6 +110,8 @@ def main():
     ap.add_argument("--config", default=None, help="estimator_config.yaml (reference format)")
     ap.add_argument("--out", default="/tmp/ovp_euroc_traj.txt")
     ap.add_argument("--timing", default="/tmp/ovp_euroc_timing.csv")
+    ap.add_argument("--plane-csv", default="/tmp/ovp_plane_track.csv",
+                    help="plane-tracking statistics CSV (reference second CSV)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
@@ -168,6 +170,7 @@ def main():
     pipe = VisionPipeline(cfg, eng)
     bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
     rec = eio.TimingRecorder()
+    prec = eio.PlaneStatsRecorder()
 
     # ----- initialization --------------------------------------------------
     state = None
@@ -320,6 +323,9 @@ def main():
         jax.block_until_ready(out.p)
         t2 = time.perf_counter()
         rec.add(t, {"tracking": t1 - t0, "total": t2 - t0})
+        pstats = dict(pipe.last_plane_stats)
+        pstats["state planes"] = float(out.n_planes)
+        prec.add(t, pstats)
         times.append(t)
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
@@ -332,6 +338,8 @@ def main():
 
     eio.write_tum(args.out, np.asarray(times), np.asarray(poss), np.asarray(quats))
     rec.write(args.timing)
+    if args.plane_csv:
+        prec.write(args.plane_csv)
     print(f"[euroc] wrote {args.out} ({n_done} frames)")
 
     if have_gt and n_done > 10:

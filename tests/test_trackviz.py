@@ -70,3 +70,23 @@ def test_history_trails_from_frontend_ring():
     assert (row.max(axis=2) > 0).sum() > 10
     # Cleared slot leaves no marks near (50, 50).
     assert rgb[45:56, 45:56].max() == 0
+
+
+def test_plane_stats_recorder_roundtrip(tmp_path):
+    """PlaneStatsRecorder writes the reference's plane-tracking CSV schema
+    and ov_eval timing_comparison-style parsing recovers it."""
+    from ov_plane_tpu.eval import io as eio
+
+    rec = eio.PlaneStatsRecorder()
+    rec.add(1.0, {"feat/plane": 5.0, "num plane": 2.0, "state planes": 1.0,
+                  "delaunay": 0.001, "matching": 0.002, "total": 0.004})
+    rec.add(2.0, {"feat/plane": 6.0, "num plane": 3.0})
+    path = str(tmp_path / "plane.csv")
+    rec.write(path)
+    with open(path) as f:
+        header = f.readline().strip().lstrip("# ").split(",")
+    assert header == eio.PLANE_TRACK_COLUMNS
+    data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+    assert data.shape == (2, len(eio.PLANE_TRACK_COLUMNS))
+    assert data[0, header.index("feat/plane")] == 5.0
+    assert data[1, header.index("num plane")] == 3.0
