@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--out", default="/tmp/ovp_timing.csv")
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--trace", default="", help="also capture a jax.profiler "
+                    "trace (XLA kernel timeline, viewable in TensorBoard/"
+                    "Perfetto) into this directory")
     args = ap.parse_args()
 
     cfg = sim_config()
@@ -47,7 +50,13 @@ def main():
         bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
     )
     bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
-    rec = run_sequence_profiled(eng, state, bank, sim, cfg.tpu.max_imu_per_frame, max_frames=args.frames)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            rec = run_sequence_profiled(eng, state, bank, sim, cfg.tpu.max_imu_per_frame,
+                                        max_frames=args.frames)
+    else:
+        rec = run_sequence_profiled(eng, state, bank, sim, cfg.tpu.max_imu_per_frame,
+                                    max_frames=args.frames)
     rec.write(args.out)
     print(f"wrote {args.out} ({len(rec.rows)} frames)")
     # Skip warmup rows (compiles) in the summary.
