@@ -179,3 +179,50 @@ def test_propagate_and_clone_inserts_clone():
     marg = prop.marginalize_oldest_clone(new2, 1)
     assert int(marg.num_clones) == 1
     assert float(marg.clones_t[s]) == -np.inf
+
+
+def test_fast_state_propagate_highrate_odometry():
+    """High-rate odometry (Propagator::fast_state_propagate): mean tracks the
+    ODE oracle at arbitrary inter-update targets, the 15x15 covariance stays
+    symmetric-PSD and grows with horizon, the filter state is untouched, and
+    a vmapped batch of targets equals sequential calls (the TPU-native form
+    of the per-IMU-message odometry callback, ROS1Visualizer.cpp:414-424)."""
+    state = VioState.create(LAY)
+    q0, p0, v0 = _init()
+    imu0 = jnp.asarray(np.concatenate([q0, p0, v0, np.zeros(6)]))
+    cov0 = np.eye(LAY.dim) * 0.01
+    state = state.replace(imu=imu0, imu_fej=imu0, cov=jnp.asarray(cov0), t=jnp.asarray(0.0))
+
+    hz = 400.0
+    ts = np.arange(-1e-9, 0.12 + 0.6 / hz, 1.0 / hz)
+    ws = np.stack([w_func(t) for t in ts])
+    accs = np.stack([a_func(t) for t in ts])
+    opts = prop.PropagatorOptions(use_rk4=True, do_fej=False)
+    args = (jnp.asarray(ts), jnp.asarray(ws), jnp.asarray(accs))
+
+    targets = np.array([0.03, 0.06, 0.09, 0.12])
+    f = lambda tt: prop.fast_state_propagate(state, *args, tt, NOISES,
+                                             jnp.asarray(GRAVITY), opts)
+    imu_b, cov_b = jax.vmap(f)(jnp.asarray(targets))
+
+    traces = []
+    for k, tt in enumerate(targets):
+        imu_n, cov15 = f(jnp.asarray(tt))
+        # Batched == sequential.
+        np.testing.assert_allclose(np.asarray(imu_b[k]), np.asarray(imu_n), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(cov_b[k]), np.asarray(cov15), atol=1e-12)
+        # Mean matches the tight-tolerance ODE oracle.
+        y_ref = ode_oracle(0.0, tt, q0, p0, v0)
+        got = np.asarray(imu_n)
+        ref_q = y_ref[0:4] if np.dot(got[0:4], y_ref[0:4]) >= 0 else -y_ref[0:4]
+        np.testing.assert_allclose(got[0:4], ref_q, atol=5e-6)
+        np.testing.assert_allclose(got[4:7], y_ref[4:7], atol=1e-5)
+        c = np.asarray(cov15)
+        np.testing.assert_allclose(c, c.T, atol=1e-12)
+        assert np.linalg.eigvalsh(c).min() > 0
+        traces.append(np.trace(c))
+    # Covariance grows with the propagation horizon.
+    assert all(b > a for a, b in zip(traces, traces[1:])), traces
+    # No state mutation.
+    np.testing.assert_allclose(np.asarray(state.imu), np.asarray(imu0), atol=0)
+    assert float(state.t) == 0.0
