@@ -20,7 +20,11 @@ def load_trajectory_txt(path: str):
     """Load (times[N], pos[N,3], quat_GtoI[N,4] JPL xyzw). Mean-centers z like
     the reference simulator (Simulator.cpp:68-75)."""
     data = np.loadtxt(path, comments="#")
-    times = data[:, 0]
+    # Rebase to t=0: recorded files carry absolute epochs (~1.55e9 s for
+    # udel_arl), where float32 resolution is 128 s — any later cast of the
+    # sim arrays to f32 for the TPU would collapse every timestamp and dt.
+    # The simulator is self-contained, so only relative time matters.
+    times = data[:, 0] - data[0, 0]
     pos = data[:, 1:4].copy()
     quat = data[:, 4:8].copy()
     pos[:, 2] -= pos[:, 2].mean()

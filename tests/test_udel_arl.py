@@ -47,3 +47,16 @@ def test_udel_arl_segment_point_only():
     rmse_pos = float(m["rmse_pos"])
     assert rmse_pos < 0.25, {k: float(v) for k, v in m.items()}
     assert 0.02 < float(m["nees_ori"]) < 15.0
+
+def test_loaded_trajectory_rebased_f32_safe():
+    """Recorded trajectories carry absolute epochs (~1.55e9 s) where float32
+    resolution is 128 s; the loader must rebase to t=0 so the TPU f32 cast
+    keeps every frame timestamp (and dt) distinct."""
+    import numpy as np
+
+    from ov_plane_tpu.sim.trajectory import load_trajectory_txt
+
+    times, pos, quat = load_trajectory_txt("/root/reference/data/udel_arl_short.txt")
+    assert times[0] == 0.0
+    t32 = times.astype(np.float32)
+    assert (np.diff(t32) > 0).all(), "f32 cast collapsed timestamps"
