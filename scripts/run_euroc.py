@@ -39,6 +39,7 @@ from ov_plane_tpu.frontend.pipeline import VisionPipeline
 from ov_plane_tpu.models.feature_bank import FeatureBank
 from ov_plane_tpu.models.initializer import InitOptions, static_initialize
 from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, step
+from ov_plane_tpu.parallel.ingest import Prefetcher
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.config import load_yaml, sim_config
 
@@ -308,14 +309,19 @@ def main():
     times, poss, quats = [], [], []
     n_done = 0
     W = cfg.tpu.max_imu_per_frame
-    for i in range(start_idx, len(cam_t), args.downsample):
+    # Host-ingest pipeline: decode frames 2 ahead on a background thread so
+    # disk/JPEG work overlaps the filter step (SURVEY §2.4 item 4; the
+    # reference's camera-queue + update-thread analogue).
+    frame_idxs = range(start_idx, len(cam_t), args.downsample)
+    frames_it = Prefetcher(frame_idxs, stage=lambda i: (i, load_image(cam_files[i])),
+                           depth=2)
+    for i, img in frames_it:
         if args.max_frames and n_done >= args.max_frames:
             break
         t = float(cam_t[i])
         lo = max(np.searchsorted(imu_t, float(state.t)) - 9, 0)
         seg = slice(lo, min(lo + W, len(imu_t)))
         t0 = time.perf_counter()
-        img = load_image(cam_files[i])
         obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg], t_new=t)
         t1 = time.perf_counter()
         frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
