@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--timing", default="/tmp/ovp_euroc_timing.csv")
     ap.add_argument("--plane-csv", default="/tmp/ovp_plane_track.csv",
                     help="plane-tracking statistics CSV (reference second CSV)")
+    ap.add_argument("--odom-out", default="",
+                    help="also write IMU-rate odometry (fast_state_propagate "
+                         "between updates, ROS1Visualizer.cpp:414-424) to this TUM file")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
@@ -315,12 +318,36 @@ def main():
     frame_idxs = range(start_idx, len(cam_t), args.downsample)
     frames_it = Prefetcher(frame_idxs, stage=lambda i: (i, load_image(cam_files[i])),
                            depth=2)
+    odom_rows = []  # (t, imu16) at IMU rate between updates
+    if args.odom_out:
+        from ov_plane_tpu.state.propagator import fast_state_propagate
+
+        _noises = jnp.asarray([eng.sigma_w2, eng.sigma_a2, eng.sigma_wb2, eng.sigma_ab2])
+        _gravity = jnp.asarray([0.0, 0.0, eng.gravity_mag])
+
+        @jax.jit
+        def _fsp(st, ts, ws, accs, tgts):
+            one = lambda tt: fast_state_propagate(st, ts, ws, accs, tt,
+                                                  _noises, _gravity, eng.prop_opts)
+            return jax.vmap(one)(tgts)
     for i, img in frames_it:
         if args.max_frames and n_done >= args.max_frames:
             break
         t = float(cam_t[i])
         lo = max(np.searchsorted(imu_t, float(state.t)) - 9, 0)
         seg = slice(lo, min(lo + W, len(imu_t)))
+        if args.odom_out and n_done > 0:
+            # IMU-rate odometry between the last update and this frame: one
+            # vmapped fast_state_propagate over the pending IMU stamps (the
+            # batched form of the per-message odometry callback).
+            span = imu_t[(imu_t > float(state.t)) & (imu_t <= t)]
+            if len(span):
+                tgt = np.full(16, span[-1])
+                tgt[: len(span)] = span[:16]
+                imu16_b, _ = _fsp(state, jnp.asarray(imu_t[seg]), jnp.asarray(imu_w[seg]),
+                                  jnp.asarray(imu_a[seg]), jnp.asarray(tgt))
+                for k in range(min(len(span), 16)):
+                    odom_rows.append((float(span[k]), np.asarray(imu16_b[k])))
         t0 = time.perf_counter()
         obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg], t_new=t)
         t1 = time.perf_counter()
@@ -346,6 +373,11 @@ def main():
     rec.write(args.timing)
     if args.plane_csv:
         prec.write(args.plane_csv)
+    if args.odom_out and odom_rows:
+        ot = np.asarray([r[0] for r in odom_rows])
+        o16 = np.stack([r[1] for r in odom_rows])
+        eio.write_tum(args.odom_out, ot, o16[:, 4:7], o16[:, 0:4])
+        print(f"[euroc] wrote IMU-rate odometry {args.odom_out} ({len(ot)} poses)")
     print(f"[euroc] wrote {args.out} ({n_done} frames)")
 
     if have_gt and n_done > 10:
