@@ -132,12 +132,18 @@ def _sinc_taylor(theta):
 
 
 def exp_so3(w):
-    """SO(3) exponential map. (..., 3) -> (..., 3, 3). Rodrigues with Taylor limits."""
-    theta = jnp.linalg.norm(w, axis=-1)
-    small = theta < 1e-7
-    safe = jnp.where(small, 1.0, theta)
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(safe) / safe)
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
+    """SO(3) exponential map. (..., 3) -> (..., 3, 3). Rodrigues with Taylor limits.
+
+    jvp-safe at w = 0: works from θ² = Σw² (smooth everywhere) and takes the
+    sqrt only of a where-guarded value — `norm(w)` has a NaN derivative at
+    the origin, which a post-hoc `where` cannot mask (the NaN enters through
+    the unselected branch's tangent)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-14
+    theta2_s = jnp.where(small, 1.0, theta2)
+    theta_s = jnp.sqrt(theta2_s)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_s) / theta_s)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta2_s)
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A[..., None, None] * W + B[..., None, None] * (W @ W)
@@ -163,12 +169,15 @@ def log_so3(R):
 
 
 def jr_so3(w):
-    """Right Jacobian of SO(3): Jr(ω) = I − (1−cosθ)/θ² ⌊ω⌋ + (θ−sinθ)/θ³ ⌊ω⌋²."""
-    theta = jnp.linalg.norm(w, axis=-1)
-    small = theta < 1e-7
-    safe = jnp.where(small, 1.0, theta)
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
-    C = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (safe - jnp.sin(safe)) / safe**3)
+    """Right Jacobian of SO(3): Jr(ω) = I − (1−cosθ)/θ² ⌊ω⌋ + (θ−sinθ)/θ³ ⌊ω⌋².
+
+    jvp-safe at ω = 0 (see exp_so3: θ² first, sqrt of a guarded value)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-14
+    theta2_s = jnp.where(small, 1.0, theta2)
+    safe = jnp.sqrt(theta2_s)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / theta2_s)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(safe)) / (theta2_s * safe))
     W = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - B[..., None, None] * W + C[..., None, None] * (W @ W)

@@ -63,15 +63,22 @@ def _se3_log(R, p):
 
 
 def _se3_exp(wv):
-    """exp of (w, v) -> (R, p) with p = Jl(w) v."""
+    """exp of (w, v) -> (R, p) with p = Jl(w) v.
+
+    jvp-safe at w = 0 (exactly-zero twists arise from duplicate control
+    poses, e.g. a hovering segment): θ² is computed as Σw² and the sqrt is
+    taken of a where-guarded value, because norm(w) has a NaN derivative at
+    the origin that leaks through the Taylor branch's tangent."""
     w, v = wv[0:3], wv[3:6]
     R = exp_so3(w)
-    theta = jnp.linalg.norm(w)
+    theta2 = w @ w
     W = skew(w)
-    small = theta < 1e-7
-    theta_s = jnp.where(small, 1.0, theta)
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta_s**2)
-    C = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (theta_s - jnp.sin(theta_s)) / theta_s**3)
+    small = theta2 < 1e-14
+    theta2_s = jnp.where(small, 1.0, theta2)
+    theta_s = jnp.sqrt(theta2_s)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta2_s)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta_s - jnp.sin(theta_s)) / (theta2_s * theta_s))
     Jl = jnp.eye(3, dtype=wv.dtype) + B * W + C * (W @ W)
     return R, Jl @ v
 

@@ -114,3 +114,31 @@ def test_skew_cross():
         np.einsum("nij,nj->ni", np.asarray(q.skew(jnp.asarray(a))), b),
         np.cross(a, b), atol=1e-14,
     )
+
+
+def test_so3_maps_jvp_safe_at_origin():
+    """d/dw of exp_so3 / jr_so3 (and the spline SE3 exp) must be finite at
+    w = 0 EXACTLY: norm(w) has a NaN derivative at the origin that a post-hoc
+    where() cannot mask. Zero twists occur for real (duplicate control poses
+    when a trajectory hovers), and one NaN tangent poisons the whole
+    jvp-derived velocity timeline."""
+    import jax
+
+    from ov_plane_tpu.ops.quat import exp_so3, jr_so3
+    from ov_plane_tpu.ops.spline import _se3_exp
+
+    z3 = jnp.zeros(3)
+    for f in (exp_so3, jr_so3):
+        val, tan = jax.jvp(f, (z3,), (jnp.ones(3),))
+        assert np.isfinite(np.asarray(val)).all(), f
+        assert np.isfinite(np.asarray(tan)).all(), f
+    # d(exp_so3)/dw at 0 along direction u is skew-like: check against FD.
+    u = jnp.asarray([0.3, -0.2, 0.5])
+    _, tan = jax.jvp(exp_so3, (z3,), (u,))
+    eps = 1e-7
+    fd = (np.asarray(exp_so3(eps * u)) - np.asarray(exp_so3(-eps * u))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(tan), fd, atol=1e-6)
+
+    val, tan = jax.jvp(_se3_exp, (jnp.zeros(6),), (jnp.ones(6),))
+    for x in (*val, *tan):
+        assert np.isfinite(np.asarray(x)).all()
