@@ -135,7 +135,9 @@ def test_vision_pipeline_with_plane_detection():
         err = float(jnp.linalg.norm(out.p - sim.gt_p[i]))
         assert err < 1.5, (i, err)
 
-    # The image-based plane frontend must produce plane associations (full
-    # CP-state initialization from tracked imagery needs the round-2 frontend
-    # tuning: RANSAC outlier gate, illumination-compensated LK).
+    # The image-based plane frontend must produce plane associations.
+    # Sustained CP-state initialization from imagery needs longer track
+    # survival than the synthetic renderer's features provide at range
+    # (triangulated-normal noise physics — see PARITY.md TrackPlane notes);
+    # the CP init/update path itself is covered by the sim-path e2e tests.
     assert n_plane_assoc > 0, "no image-based plane associations produced"
