@@ -32,13 +32,20 @@ def load_trajectory_txt(path: str):
     return times, pos, quat
 
 
-def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 0):
+def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 0,
+                         time_dilation: float = 1.0):
     """Smooth figure-eight room scan with height oscillation and tangent-facing yaw.
 
     Returns (times, pos, quat_GtoI) in the same convention as the txt loader.
     The pose looks along the direction of travel with a gentle pitch/roll sway
     so all IMU axes are excited (needed for calibration observability).
+    time_dilation > 1 replays the same path at 1/dilation the speed (the
+    slow close-range inspection regime, cf. the reference's AR-Table scenes).
     """
+    if time_dilation != 1.0:
+        times, pos, quat = room_scan_trajectory(duration / time_dilation,
+                                                hz * time_dilation, seed)
+        return times * time_dilation, pos, quat
     n = int(duration * hz) + 1
     t = np.arange(n) / hz
     # Lissajous-style loop inside a ~6x4 m room.
@@ -99,4 +106,6 @@ def get_trajectory(cfg_sim):
             if keep.sum() >= 8:
                 times, pos, quat = times[keep], pos[keep], quat[keep]
         return times, pos, quat
+    if cfg_sim.traj_kind == "slow_scan":
+        return room_scan_trajectory(duration=cfg_sim.traj_duration, time_dilation=3.0)
     return room_scan_trajectory(duration=cfg_sim.traj_duration)

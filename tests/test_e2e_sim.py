@@ -84,3 +84,23 @@ def test_msckf_update_improves_over_dead_reckoning(sim_and_cfg):
     err = float(jnp.linalg.norm(outs.p[-1] - sim.gt_p[-1]))
     err_dr = float(jnp.linalg.norm(outs_dr.p[-1] - sim.gt_p[-1]))
     assert err < 0.5 * err_dr, f"vision should beat dead reckoning: {err} vs {err_dr}"
+
+
+def test_slow_scan_trajectory_finite_kinematics():
+    """traj_kind slow_scan (time-dilated room scan): the near-static motion
+    regime must yield finite spline kinematics end-to-end — regression for
+    the NaN-at-zero-twist jvp bug (exp_so3 tangents at w=0)."""
+    import numpy as np
+
+    from ov_plane_tpu.sim.simulator import build_sim
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = 8.0
+    cfg.sim.traj_kind = "slow_scan"
+    sim = build_sim(cfg, max_obs=48)
+    for name in ("gt_v", "gt_p", "gt_q", "imu_w", "imu_a"):
+        arr = np.asarray(getattr(sim, name))
+        assert np.isfinite(arr).all(), name
+    # Genuinely slower than the default scan: small velocities.
+    assert np.abs(np.asarray(sim.gt_v)).max() < 0.6
