@@ -116,6 +116,14 @@ def main():
     ap.add_argument("--odom-out", default="",
                     help="also write IMU-rate odometry (fast_state_propagate "
                          "between updates, ROS1Visualizer.cpp:414-424) to this TUM file")
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint npz path; with --ckpt-every N, filter "
+                         "state+bank+trajectory are saved every N frames")
+    ap.add_argument("--ckpt-every", type=int, default=200)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the replay from --ckpt (filter state continues; "
+                         "the vision tracker re-bootstraps, so expect a few "
+                         "tracking-warmup frames)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
@@ -312,6 +320,21 @@ def main():
     times, poss, quats = [], [], []
     n_done = 0
     W = cfg.tpu.max_imu_per_frame
+    if args.ckpt and args.resume:
+        # Crash-resume (new architecture; the reference has no checkpointing,
+        # SURVEY §5.4): restore filter state + feature bank + recorded
+        # trajectory and continue at the saved frame index.
+        from ov_plane_tpu.utils.checkpoint import load_npz
+
+        state, bank = load_npz(args.ckpt, state, bank)
+        meta = np.load(args.ckpt + ".meta.npz")
+        start_idx = int(meta["next_frame"])
+        times = list(meta["times"])
+        poss = list(meta["poss"])
+        quats = list(meta["quats"])
+        pipe.fe.prev_pyr = None  # tracker re-bootstraps
+        print(f"[euroc] resumed from {args.ckpt} at frame index {start_idx} "
+              f"({len(times)} frames already recorded)")
     # Host-ingest pipeline: decode frames 2 ahead on a background thread so
     # disk/JPEG work overlaps the filter step (SURVEY §2.4 item 4; the
     # reference's camera-queue + update-thread analogue).
@@ -363,6 +386,14 @@ def main():
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
         n_done += 1
+        if args.ckpt and n_done % args.ckpt_every == 0:
+            from ov_plane_tpu.utils.checkpoint import save_npz
+
+            save_npz(args.ckpt, state, bank)
+            np.savez(args.ckpt + ".meta.npz",
+                     next_frame=i + args.downsample, times=np.asarray(times),
+                     poss=np.asarray(poss), quats=np.asarray(quats))
+            print(f"[euroc] checkpoint at frame {n_done} -> {args.ckpt}")
         if args.viz_dir and n_done % 25 == 0:
             _save_viz_images(args.viz_dir, n_done, img, pipe.fe)
         if n_done % 50 == 0:
