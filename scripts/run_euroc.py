@@ -40,6 +40,7 @@ from ov_plane_tpu.models.feature_bank import FeatureBank
 from ov_plane_tpu.models.initializer import InitOptions, static_initialize
 from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, step
 from ov_plane_tpu.parallel.ingest import Prefetcher
+from ov_plane_tpu.utils import printer
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.config import load_yaml, sim_config
 
@@ -124,6 +125,9 @@ def main():
                     help="resume the replay from --ckpt (filter state continues; "
                          "the vision tracker re-bootstraps, so expect a few "
                          "tracking-warmup frames)")
+    ap.add_argument("--verbosity", default="",
+                    help="override console verbosity (ALL/DEBUG/INFO/WARNING/"
+                         "ERROR/SILENT; default comes from the config YAML)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
@@ -164,6 +168,8 @@ def main():
     cfg.state.do_calib_camera_pose = False
     cfg.state.do_calib_camera_intrinsics = False
     cfg.state.do_calib_camera_timeoffset = False
+    if args.verbosity:
+        printer.set_print_level(args.verbosity)
 
     mav0 = os.path.join(args.data, "mav0")
     imu = np.loadtxt(os.path.join(mav0, "imu0", "data.csv"), delimiter=",", comments="#")
@@ -386,6 +392,12 @@ def main():
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
         n_done += 1
+        # Per-frame state print at DEBUG verbosity (VioManager.cpp:956-985).
+        printer.print_debug(
+            f"state t={t:.3f} q={np.asarray(out.q).round(4)} p={np.asarray(out.p).round(3)} "
+            f"dt={float(state.calib_dt):+.5f} bank={int(out.n_bank)} "
+            f"slam={int(out.n_slam)} planes={int(out.n_planes)}"
+        )
         if args.ckpt and n_done % args.ckpt_every == 0:
             from ov_plane_tpu.utils.checkpoint import save_npz
 
