@@ -103,7 +103,7 @@ def main():
 
     # AR overlay: project a wireframe onto the first active plane state.
     if bool(jnp.any(state.plane_active)):
-        from ov_plane_tpu.eval.render import rasterize_segments, wireframe_segments
+        from ov_plane_tpu.eval.render import ar_anchor_in_view, rasterize_segments, wireframe_segments
         from ov_plane_tpu.ops.quat import quat_2_rot
 
         slot = int(jnp.argmax(state.plane_active))
@@ -112,9 +112,12 @@ def main():
         newest = int(state.newest_clone_slot)
         verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
         faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+        R_GtoC = np.asarray(clones.R_GtoC[newest])
+        p_CinG = np.asarray(clones.p_CinG[newest])
+        anchor = ar_anchor_in_view(cp, R_GtoC, p_CinG)
         segs = wireframe_segments(
-            verts, faces, cp, 0.4, np.asarray(clones.R_GtoC[newest]),
-            np.asarray(clones.p_CinG[newest]), np.asarray(cfg.cam_intrinsics), cfg.cam_wh,
+            verts, faces, cp, 0.4, R_GtoC, p_CinG,
+            np.asarray(cfg.cam_intrinsics), cfg.cam_wh, anchor=anchor,
         )
         img = rasterize_segments(segs, cfg.cam_wh)
         print(f"[ar] rendered {len(segs)} wireframe segments onto plane cp={cp.round(2)} "

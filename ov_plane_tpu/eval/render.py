@@ -44,10 +44,20 @@ def plane_frame(cp: np.ndarray):
     return np.stack([x, y, n]), cp
 
 
-def wireframe_segments(verts, faces, cp, scale, R_GtoC, p_CinG, zeta, wh, model=cams.RADTAN):
-    """Project the model (posed on the plane at its closest point) into the
-    camera; returns [E, 2, 2] pixel segments of visible edges."""
+def wireframe_segments(verts, faces, cp, scale, R_GtoC, p_CinG, zeta, wh, model=cams.RADTAN,
+                       anchor=None):
+    """Project the model (posed on the plane) into the camera; returns
+    [E, 2, 2] pixel segments of visible edges.
+
+    anchor: where on the plane to place the model (a 3D point, projected onto
+    the plane). Default is the plane's closest point to the global origin —
+    pass the camera's optical-axis/plane intersection (ar_anchor_in_view) to
+    keep the model in frame like the reference's AR-Table overlay."""
     R_GtoP, origin = plane_frame(cp)
+    if anchor is not None:
+        d = np.linalg.norm(cp)
+        n = cp / max(d, 1e-9)
+        origin = np.asarray(anchor) - (np.asarray(anchor) @ n - d) * n
     # Model frame: x/y in plane, z along normal; center + scale.
     v = verts - verts.mean(axis=0)
     v = v / max(np.abs(v).max(), 1e-9) * scale
@@ -81,3 +91,18 @@ def rasterize_segments(segs, wh, img=None, value=1.0):
             if 0 <= u < w and 0 <= v < h:
                 img[v, u] = value
     return img
+
+
+def ar_anchor_in_view(cp, R_GtoC, p_CinG, max_range=25.0):
+    """Intersection of the camera's optical axis with the plane — the natural
+    AR placement point. Returns None when the plane is not ahead."""
+    d = np.linalg.norm(cp)
+    n = cp / max(d, 1e-9)
+    ray = np.asarray(R_GtoC)[2]          # +z camera axis in global frame
+    denom = ray @ n
+    if abs(denom) < 1e-9:
+        return None
+    t = (d - np.asarray(p_CinG) @ n) / denom
+    if not (0.1 < t < max_range):
+        return None
+    return np.asarray(p_CinG) + t * ray

@@ -67,3 +67,29 @@ def test_obj_wireframe(tmp_path):
     assert len(segs) > 4
     img = rasterize_segments(segs, (640, 480))
     assert img.sum() > 10
+
+
+def test_ar_anchor_in_view_on_plane_and_axis():
+    """ar_anchor: intersection of the optical axis with the CP plane — on the
+    plane, along the axis, None when the plane is behind the camera."""
+    import numpy as np
+
+    from ov_plane_tpu.eval.render import ar_anchor_in_view, plane_frame, wireframe_segments
+
+    cp = np.array([0.0, 0.0, 2.0])          # plane z=2, normal +z
+    R_GtoC = np.eye(3)                      # camera looks along +z (global)
+    p_CinG = np.array([0.4, -0.3, 0.0])
+    a = ar_anchor_in_view(cp, R_GtoC, p_CinG)
+    n = cp / np.linalg.norm(cp)
+    assert abs(a @ n - np.linalg.norm(cp)) < 1e-12          # on the plane
+    np.testing.assert_allclose(a[:2], p_CinG[:2], atol=1e-12)  # along +z axis
+    # Plane behind: flip the camera.
+    R_back = np.diag([1.0, -1.0, -1.0])
+    assert ar_anchor_in_view(cp, R_back, p_CinG) is None
+    # Anchored wireframe lands in frame.
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+    faces = np.array([[0, 1, 2], [1, 2, 3]])
+    zeta = np.array([300.0, 300, 320, 240, 0, 0, 0, 0])
+    segs = wireframe_segments(verts, faces, cp, 0.3, R_GtoC, p_CinG,
+                              zeta, (640, 480), anchor=a)
+    assert len(segs) > 0
