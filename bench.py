@@ -37,8 +37,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 # TPU matmuls default to bf16 operands (8 mantissa bits) — fatal for EKF
-# covariance math. Force true-f32 matmul passes.
-jax.config.update("jax_default_matmul_precision", "highest")
+# covariance math. Force true-f32 matmul passes ("highest"); BENCH_MATMUL=high
+# selects the bf16x3 compromise for throughput experiments (accuracy is
+# printed — judge it against the f32 numbers before trusting it).
+jax.config.update("jax_default_matmul_precision",
+                  os.environ.get("BENCH_MATMUL", "highest"))
 # Persistent cache: the big scan graph costs ~5 min to (remote-)compile; the
 # cache makes repeat bench runs start in seconds. (cpu_aot_loader may warn
 # about host-feature mismatch for CPU entries produced by the remote compile
