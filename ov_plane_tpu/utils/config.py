@@ -146,9 +146,12 @@ class TrackPlaneOptions:
     max_cond_number: float = 8000.0
     # Whole-track ray-intersection RMS gate: reject triangulations whose
     # accumulated perpendicular ray distances don't meet.
-    # Gate = max(rel · depth, abs) meters.
-    max_ray_rms_rel: float = 0.02
-    max_ray_rms_abs: float = 0.03
+    # Gate = max(rel · depth, abs) meters. The floor must absorb the
+    # pose-drift component of the ray miss (clone position error enters the
+    # accumulated centers directly, ~cm-dm regardless of depth); gross
+    # mistracks measure >=0.5 m RMS, so 0.10 m keeps full discrimination.
+    max_ray_rms_rel: float = 0.03
+    max_ray_rms_abs: float = 0.10
 
 
 @dataclass

@@ -197,6 +197,6 @@ def test_ray_rms_accumulator_matches_direct_sum():
     clean = accumulate(0.002)
     bad = accumulate(0.002, corrupt_one=True)
     depth = np.linalg.norm(p_gt)
-    gate = max(0.02 * depth, 0.03)  # TrackPlaneOptions defaults
+    gate = max(0.03 * depth, 0.10)  # TrackPlaneOptions defaults
     assert clean < gate, (clean, gate)
     assert bad > gate, (bad, gate)
