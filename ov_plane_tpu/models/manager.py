@@ -373,10 +373,16 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
             lambda a, b: jnp.where(has_prev, a, b), explicit, state_zupt)
 
     # 2. Undistort + ingest the frame's observations at the new clone slot.
+    #    Non-finite pixels (a corrupt sensor packet, an upstream NaN) are
+    #    dropped here — one NaN observation would otherwise poison the whole
+    #    stacked update (input-hygiene guard; the reference would assert).
     zeta = state.cam_zeta
-    uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(frame.obs_uv)
+    obs_finite = jnp.all(jnp.isfinite(frame.obs_uv), axis=1)
+    obs_id = jnp.where(obs_finite, frame.obs_id, -1)
+    obs_uv = jnp.where(obs_finite[:, None], frame.obs_uv, 0.0)
+    uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(obs_uv)
     bank = fb.clear_clone_column(bank, new_slot)
-    bank = fb.ingest(bank, frame.obs_id, frame.obs_uv, uvn, frame.obs_plane, new_slot,
+    bank = fb.ingest(bank, obs_id, obs_uv, uvn, frame.obs_plane, new_slot,
                      gt_p=frame.obs_gt_p, gt_cp=frame.obs_gt_cp)
 
     # 3. Triage (masked off until enough clones, VioManager.cpp:355).

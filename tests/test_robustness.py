@@ -51,6 +51,9 @@ def test_random_streams_stay_finite(use_planes):
         obs_id = rng.integers(0, 60, O).astype(np.int32)
         obs_id[rng.random(O) < 0.3] = -1
         obs_uv = np.stack([rng.uniform(0, w, O), rng.uniform(0, h, O)], axis=1)
+        # Corrupt packets: a few NaN/Inf pixels must be dropped, not absorbed.
+        obs_uv[rng.random(O) < 0.05] = np.nan
+        obs_uv[rng.random(O) < 0.03] = np.inf
         obs_plane = np.where(rng.random(O) < 0.3,
                              rng.integers(0, 3, O), -1).astype(np.int32)
         frame = FrameData(
