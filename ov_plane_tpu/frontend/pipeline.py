@@ -107,6 +107,7 @@ class VisionPipeline:
         )
         self.fe = FrontendState(cap=cap, plane_tracker=PlaneTracker(cfg.trackplane))
         self.last_plane_stats: dict = {}
+        self.last_tri = None  # (ids, uv, p3, ok3) whole-track triangulations
         self.aruco = None
         if cfg.use_aruco:
             from ov_plane_tpu.frontend.aruco import ArucoOptions, ArucoTracker
@@ -301,6 +302,9 @@ class VisionPipeline:
                    & (ray_rms <= rms_gate)
                    & np.isfinite(p3).all(axis=1))
             _tri_wall = _time.perf_counter() - _tri_t0
+            # Snapshot for the loop-closure info pack (eval/loopclosure.py ≡
+            # VioManager::get_active_tracks, active_tracks_posinG).
+            self.last_tri = (fe.ids.copy(), fe.uv.copy(), p3, ok3)
             if ok3.any():
                 feat2plane, plane2old = fe.plane_tracker.update(
                     fe.ids, fe.uv, p3, ok3, R_GtoC, p_CinG

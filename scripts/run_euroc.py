@@ -125,6 +125,11 @@ def main():
                     help="resume the replay from --ckpt (filter state continues; "
                          "the vision tracker re-bootstraps, so expect a few "
                          "tracking-warmup frames)")
+    ap.add_argument("--loop-out", default="",
+                    help="write per-frame loop-closure info packs (pose, active "
+                         "tracks, sparse depth — the reference's pub_loop_* "
+                         "surface) into this directory")
+    ap.add_argument("--loop-every", type=int, default=10)
     ap.add_argument("--verbosity", default="",
                     help="override console verbosity (ALL/DEBUG/INFO/WARNING/"
                          "ERROR/SILENT; default comes from the config YAML)")
@@ -392,6 +397,21 @@ def main():
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
         n_done += 1
+        if args.loop_out and n_done % args.loop_every == 0 and pipe.last_tri is not None:
+            from ov_plane_tpu.eval.loopclosure import loop_pack, save_pack
+            from ov_plane_tpu.models.jacobians import clone_set_from_state as _csfs
+            from ov_plane_tpu.ops.quat import quat_2_rot as _q2r2
+
+            cl2 = _csfs(state)
+            newest2 = int(np.asarray(state.newest_clone_slot))
+            lids, luv, lp3, lok = pipe.last_tri
+            pack = loop_pack(
+                t, np.asarray(out.q), np.asarray(out.p),
+                np.asarray(cl2.R_GtoC[newest2]), np.asarray(cl2.p_CinG[newest2]),
+                np.asarray(state.calib_cam), np.asarray(state.cam_zeta),
+                lids, luv, lp3, lok, cfg.cam_wh,
+            )
+            save_pack(args.loop_out, n_done, pack)
         # Per-frame state print at DEBUG verbosity (VioManager.cpp:956-985).
         printer.print_debug(
             f"state t={t:.3f} q={np.asarray(out.q).round(4)} p={np.asarray(out.p).round(3)} "

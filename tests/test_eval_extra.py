@@ -93,3 +93,36 @@ def test_ar_anchor_in_view_on_plane_and_axis():
     segs = wireframe_segments(verts, faces, cp, 0.3, R_GtoC, p_CinG,
                               zeta, (640, 480), anchor=a)
     assert len(segs) > 0
+
+
+def test_loop_pack_contents_and_depth_image():
+    """Loop-closure info pack: geometry consistent (uvd depth == camera-frame
+    z of feat_p_G), sparse depth image carries those depths in mm."""
+    import numpy as np
+
+    from ov_plane_tpu.eval.loopclosure import loop_pack
+
+    rng = np.random.default_rng(2)
+    N = 12
+    R_GtoC = np.eye(3)
+    p_CinG = np.array([0.2, -0.1, 0.0])
+    p3 = np.stack([rng.uniform(-1, 1, N), rng.uniform(-1, 1, N),
+                   rng.uniform(1.0, 4.0, N)], axis=1)
+    depth = (p3 - p_CinG) @ R_GtoC[2]
+    zeta = np.array([300.0, 300, 320, 240, 0, 0, 0, 0])
+    uv = 300 * (p3[:, :2] - p_CinG[:2]) / depth[:, None] + [320, 240]
+    ids = np.arange(N)
+    ok = np.ones(N, bool)
+    ok[3] = False  # one invalid slot must be dropped
+
+    pack = loop_pack(1.5, [0, 0, 0, 1.0], p_CinG, R_GtoC, p_CinG,
+                     np.array([0, 0, 0, 1.0, 0, 0, 0]), zeta,
+                     ids, uv, p3, ok, (640, 480))
+    assert pack["feat_id"].tolist() == [i for i in range(N) if i != 3]
+    np.testing.assert_allclose(pack["feat_uvd"][:, 2],
+                               np.delete(depth, 3), atol=1e-12)
+    img = pack["depth_img"]
+    assert img.dtype == np.uint16 and img.shape == (480, 640)
+    k = 0 if 3 != 0 else 1
+    u, v = int(round(uv[k, 0])), int(round(uv[k, 1]))
+    assert abs(int(img[v, u]) - depth[k] * 1000) <= 1
