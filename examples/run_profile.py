@@ -50,11 +50,10 @@ def main():
         bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
     )
     bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
-    if args.trace:
-        with jax.profiler.trace(args.trace):
-            rec = run_sequence_profiled(eng, state, bank, sim, cfg.tpu.max_imu_per_frame,
-                                        max_frames=args.frames)
-    else:
+    import contextlib
+
+    ctx = jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
         rec = run_sequence_profiled(eng, state, bank, sim, cfg.tpu.max_imu_per_frame,
                                     max_frames=args.frames)
     rec.write(args.out)

@@ -92,6 +92,34 @@ class FrontendState:
         self.hist_valid[-1] = self.valid
 
 
+def solve_track_triangulations(fe: "FrontendState", tp, R_GtoC, p_CinG) -> dict:
+    """Solve every mature slot's accumulated whole-track system (batched 3x3)
+    and apply the reference's gates (TrackPlane.cpp:668-680: condition number,
+    in-front depth window, finiteness) plus the whole-track ray-intersection
+    RMS gate Σ‖(I−bbᵀ)(p−c_i)‖² = pᵀAp−2bᵀp+c ≤ max(rel·depth, abs).
+
+    Returns a dict with the solved positions and every intermediate gate
+    array so diagnostics (scripts/diag_frontend_gates.py) read the same math
+    the pipeline uses."""
+    enough = fe.valid & (fe.tri_n >= tp.feat_init_min_obs)
+    A = fe.tri_A + np.where(enough, 0.0, 1.0)[:, None, None] * np.eye(3)
+    with np.errstate(all="ignore"):
+        p3 = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
+        sv = np.linalg.svd(fe.tri_A, compute_uv=False)
+        cond = sv[:, 0] / np.maximum(sv[:, 2], 1e-18)
+    depth = (p3 - p_CinG) @ np.asarray(R_GtoC)[2]
+    quad = (np.einsum("ni,nij,nj->n", p3, fe.tri_A, p3)
+            - 2.0 * np.einsum("ni,ni->n", p3, fe.tri_b) + fe.tri_c)
+    ray_rms = np.sqrt(np.maximum(quad, 0.0) / np.maximum(fe.tri_n, 1))
+    rms_gate = np.maximum(tp.max_ray_rms_rel * np.abs(depth), tp.max_ray_rms_abs)
+    ok = (enough & (cond <= tp.max_cond_number)
+          & (depth >= tp.min_dist) & (depth <= tp.max_dist)
+          & (ray_rms <= rms_gate)
+          & np.isfinite(p3).all(axis=1))
+    return {"p3": p3, "ok": ok, "enough": enough, "cond": cond, "depth": depth,
+            "ray_rms": ray_rms, "rms_gate": rms_gate}
+
+
 class VisionPipeline:
     """Composable frontend for real image streams."""
 
@@ -276,36 +304,20 @@ class VisionPipeline:
         tp = cfg.trackplane
         _tri_t0 = _time.perf_counter()
         _tri_wall = 0.0
+        tracker_ran = False
         if int(state.num_clones) >= 1 and (fe.tri_n >= tp.feat_init_min_obs).any():
             clones = clone_set_from_state(state)
             newest = int(np.asarray(state.newest_clone_slot))
             R_GtoC = np.asarray(clones.R_GtoC[newest])
             p_CinG = np.asarray(clones.p_CinG[newest])
-            # Solve every mature slot's accumulated system (batched 3x3) and
-            # gate exactly like the reference (:668-680): condition number,
-            # in-front depth window, finiteness.
-            enough = fe.valid & (fe.tri_n >= tp.feat_init_min_obs)
-            A = fe.tri_A + np.where(enough, 0.0, 1.0)[:, None, None] * np.eye(3)
-            with np.errstate(all="ignore"):
-                p3 = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
-                sv = np.linalg.svd(fe.tri_A, compute_uv=False)
-                cond = sv[:, 0] / np.maximum(sv[:, 2], 1e-18)
-            depth = (p3 - p_CinG) @ R_GtoC[2]
-            # Whole-track ray-intersection RMS from the accumulated quadratic
-            # (no per-observation storage): Σ‖(I−bbᵀ)(p−c_i)‖² = pᵀAp−2bᵀp+c.
-            quad = (np.einsum("ni,nij,nj->n", p3, fe.tri_A, p3)
-                    - 2.0 * np.einsum("ni,ni->n", p3, fe.tri_b) + fe.tri_c)
-            ray_rms = np.sqrt(np.maximum(quad, 0.0) / np.maximum(fe.tri_n, 1))
-            rms_gate = np.maximum(tp.max_ray_rms_rel * np.abs(depth), tp.max_ray_rms_abs)
-            ok3 = (enough & (cond <= tp.max_cond_number)
-                   & (depth >= tp.min_dist) & (depth <= tp.max_dist)
-                   & (ray_rms <= rms_gate)
-                   & np.isfinite(p3).all(axis=1))
+            g = solve_track_triangulations(fe, tp, R_GtoC, p_CinG)
+            p3, ok3 = g["p3"], g["ok"]
             _tri_wall = _time.perf_counter() - _tri_t0
             # Snapshot for the loop-closure info pack (eval/loopclosure.py ≡
             # VioManager::get_active_tracks, active_tracks_posinG).
             self.last_tri = (fe.ids.copy(), fe.uv.copy(), p3, ok3)
             if ok3.any():
+                tracker_ran = True
                 feat2plane, plane2old = fe.plane_tracker.update(
                     fe.ids, fe.uv, p3, ok3, R_GtoC, p_CinG
                 )
@@ -316,7 +328,9 @@ class VisionPipeline:
         # before handing the row to eval.io.PlaneStatsRecorder.
         n_planes_front = len(set(feat2plane.values()))
         tl = fe.tri_n[fe.valid].astype(float)
-        tmg = fe.plane_tracker.last_timing
+        # Only report sub-stage times when the tracker actually ran this
+        # frame (last_timing would otherwise be the previous frame's).
+        tmg = fe.plane_tracker.last_timing if tracker_ran else {}
         self.last_plane_stats = {
             "feat/plane": (len(feat2plane) / n_planes_front) if n_planes_front else 0.0,
             "num plane": float(n_planes_front),

@@ -75,6 +75,10 @@ class StepOutput(NamedTuple):
     n_planes: jnp.ndarray
     n_slam_init: jnp.ndarray
     n_plane_init: jnp.ndarray
+    # Features updated under a point-on-plane constraint this frame (grouped
+    # out-of-state path + in-state plane rows) — the reference's
+    # "num constraint updates" CSV column.
+    n_plane_constraints: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -413,6 +417,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     # 6a. Grouped MSCKF-plane updates for out-of-state planes
     #     (UpdaterMSCKF plane path; consumes their features).
     sel_valid_main = sel_valid
+    n_plane_constraints = jnp.zeros((), jnp.int32)
     if eng.use_planes and eng.msckf_opts.use_plane_constraint:
         from ov_plane_tpu.models.plane_msckf import msckf_plane_update
 
@@ -420,6 +425,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         do_pm = can_update & past_delay
         state = jax.tree.map(lambda a, b: jnp.where(do_pm, a, b), pl_state, state)
         sel_valid_main = sel_valid & ~(consumed_sel & do_pm)
+        n_plane_constraints = n_plane_constraints + jnp.sum(consumed_sel & do_pm)
 
     # 6b. MSCKF update (plane rows for features whose plane is a state).
     sel_uv = bank.uv[sel_idx]
@@ -446,6 +452,8 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         gt_p=sel_gt_p if eng.use_groundtruths else None,
     )
     state = new_state
+    if eng.msckf_opts.use_plane_constraint:
+        n_plane_constraints = n_plane_constraints + jnp.sum(used & has_plane)
 
     if eng.use_slam:
         # 7. SLAM landmark update with newest observations.
@@ -496,6 +504,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         n_planes=jnp.sum(state.plane_active),
         n_slam_init=n_slam_init,
         n_plane_init=n_plane_init,
+        n_plane_constraints=n_plane_constraints,
     )
     return state, bank, out
 

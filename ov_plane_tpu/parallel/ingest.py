@@ -33,25 +33,58 @@ class Prefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._stage = stage or (lambda x: x)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(target=self._run, args=(iter(items),), daemon=True)
         self._thread.start()
 
     def _run(self, it: Iterator[Any]):
         try:
             for item in it:
-                self._q.put(self._stage(item))
+                staged = self._stage(item)
+                # Bounded put that notices close(): a consumer that stops
+                # early must not leave this thread parked on a full queue
+                # holding staged buffers for the rest of the process.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # propagate to the consumer
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            try:
+                self._q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
+
+    def close(self):
+        """Stop the producer and drop staged items. Safe to call repeatedly;
+        consumers that break out of iteration early should call this."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+        self._done = True
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            if self._err is not None:
+                raise self._err  # re-raise persistently, never block
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
             self._thread.join()
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

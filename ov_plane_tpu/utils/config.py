@@ -382,12 +382,12 @@ def load_yaml(path: str, base: Optional[VioConfig] = None, overrides: Optional[D
         else:
             unknown[key] = value
     cfg._unknown_keys = unknown  # type: ignore[attr-defined]
-    # Apply verbosity on load (run_simulation.cpp:77-79) and emit the
-    # print-on-load audit at DEBUG (VioManagerOptions.h:68-201).
-    from ov_plane_tpu.utils import printer
-
-    printer.set_print_level(cfg.verbosity)
-    printer.print_config(cfg)
+    # NOTE: the YAML `verbosity` key is parsed into cfg.verbosity but NOT
+    # applied here — a config loader mutating process-wide logging state is a
+    # hidden side effect (a later load would clobber a CLI override). Entry
+    # points apply it: printer.set_print_level(cfg.verbosity) +
+    # printer.print_config(cfg) reproduce the reference's startup behavior
+    # (run_simulation.cpp:77-79, VioManagerOptions.h:68-201).
     return cfg
 
 

@@ -31,7 +31,7 @@ setup_cache()
 import jax.numpy as jnp
 import numpy as np
 
-from ov_plane_tpu.frontend.pipeline import VisionPipeline
+from ov_plane_tpu.frontend.pipeline import VisionPipeline, solve_track_triangulations
 from ov_plane_tpu.frontend.synthetic import render_frame
 from ov_plane_tpu.models.feature_bank import FeatureBank
 from ov_plane_tpu.models.jacobians import clone_set_from_state
@@ -44,7 +44,8 @@ from ov_plane_tpu.utils.config import sim_config
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=35)
-    ap.add_argument("--close-range", action="store_true", default=True)
+    ap.add_argument("--close-range", action=argparse.BooleanOptionalAction, default=True,
+                    help="--no-close-range keeps the default 2-5 m feature range")
     args = ap.parse_args()
 
     cfg = sim_config()
@@ -119,19 +120,11 @@ def main():
         if enough.any() and int(state.num_clones) >= 1:
             cl = clone_set_from_state(state)
             newest = int(np.asarray(state.newest_clone_slot))
-            R_GtoC = np.asarray(cl.R_GtoC[newest])
-            p_CinG = np.asarray(cl.p_CinG[newest])
-            A = fe.tri_A + np.where(enough, 0.0, 1.0)[:, None, None] * np.eye(3)
-            with np.errstate(all="ignore"):
-                p3 = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
-                sv = np.linalg.svd(fe.tri_A, compute_uv=False)
-                cond = sv[:, 0] / np.maximum(sv[:, 2], 1e-18)
-            depth = (p3 - p_CinG) @ R_GtoC[2]
-            quad = (np.einsum("ni,nij,nj->n", p3, fe.tri_A, p3)
-                    - 2.0 * np.einsum("ni,ni->n", p3, fe.tri_b) + fe.tri_c)
-            rms = np.sqrt(np.maximum(quad, 0.0) / np.maximum(fe.tri_n, 1))
-            gate = np.maximum(tp.max_ray_rms_rel * np.abs(depth), tp.max_ray_rms_abs)
-            e = enough
+            # Same math the pipeline uses (shared helper — no drift risk).
+            g = solve_track_triangulations(
+                fe, tp, np.asarray(cl.R_GtoC[newest]), np.asarray(cl.p_CinG[newest]))
+            e, cond, depth, rms, gate = (g["enough"], g["cond"], g["depth"],
+                                         g["ray_rms"], g["rms_gate"])
             line += (f" cond_ok={int((e & (cond <= tp.max_cond_number)).sum()):3d}"
                      f" depth_ok={int((e & (depth >= tp.min_dist) & (depth <= tp.max_dist)).sum()):3d}"
                      f" rms_ok={int((e & (rms <= gate)).sum()):3d}"

@@ -173,8 +173,10 @@ def main():
     cfg.state.do_calib_camera_pose = False
     cfg.state.do_calib_camera_intrinsics = False
     cfg.state.do_calib_camera_timeoffset = False
-    if args.verbosity:
-        printer.set_print_level(args.verbosity)
+    # Verbosity: CLI override wins, else the config's key (the loader itself
+    # is side-effect-free); DEBUG also dumps the print-on-load config audit.
+    printer.set_print_level(args.verbosity or cfg.verbosity)
+    printer.print_config(cfg)
 
     mav0 = os.path.join(args.data, "mav0")
     imu = np.loadtxt(os.path.join(mav0, "imu0", "data.csv"), delimiter=",", comments="#")
@@ -344,6 +346,11 @@ def main():
         poss = list(meta["poss"])
         quats = list(meta["quats"])
         pipe.fe.prev_pyr = None  # tracker re-bootstraps
+        # Reissued frontend ids must not collide with feature ids still alive
+        # in the restored bank/SLAM state (fb.ingest matches by id — a clash
+        # would append a new feature's pixels to an old landmark's history).
+        pipe.fe.next_id = (int(meta["next_id"]) if "next_id" in meta
+                           else int(np.asarray(bank.fid).max()) + 1_000_000)
         print(f"[euroc] resumed from {args.ckpt} at frame index {start_idx} "
               f"({len(times)} frames already recorded)")
     # Host-ingest pipeline: decode frames 2 ahead on a background thread so
@@ -374,14 +381,20 @@ def main():
             # IMU-rate odometry between the last update and this frame: one
             # vmapped fast_state_propagate over the pending IMU stamps (the
             # batched form of the per-message odometry callback).
-            span = imu_t[(imu_t > float(state.t)) & (imu_t <= t)]
-            if len(span):
-                tgt = np.full(16, span[-1])
-                tgt[: len(span)] = span[:16]
+            # Only stamps the propagation window actually covers (beyond the
+            # seg the propagator clips and the stamp would lie).
+            span = imu_t[(imu_t > float(state.t)) & (imu_t <= min(t, imu_t[seg][-1]))]
+            # Chunked to a fixed vmap width so one compiled program serves any
+            # gap length (--downsample widens gaps beyond any single batch).
+            B = 16
+            for c0 in range(0, len(span), B):
+                chunk = span[c0:c0 + B]
+                tgt = np.full(B, chunk[-1])
+                tgt[: len(chunk)] = chunk
                 imu16_b, _ = _fsp(state, jnp.asarray(imu_t[seg]), jnp.asarray(imu_w[seg]),
                                   jnp.asarray(imu_a[seg]), jnp.asarray(tgt))
-                for k in range(min(len(span), 16)):
-                    odom_rows.append((float(span[k]), np.asarray(imu16_b[k])))
+                for k in range(len(chunk)):
+                    odom_rows.append((float(chunk[k]), np.asarray(imu16_b[k])))
         t0 = time.perf_counter()
         obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg], t_new=t)
         t1 = time.perf_counter()
@@ -392,11 +405,15 @@ def main():
         rec.add(t, {"tracking": t1 - t0, "total": t2 - t0})
         pstats = dict(pipe.last_plane_stats)
         pstats["state planes"] = float(out.n_planes)
+        if out.n_plane_constraints is not None:
+            pstats["num constraint updates"] = float(out.n_plane_constraints)
         prec.add(t, pstats)
         times.append(t)
         poss.append(np.asarray(out.p))
         quats.append(np.asarray(out.q))
         n_done += 1
+        # Packs are numbered by the dataset frame index (stable across
+        # --resume; n_done restarts at 0 there and would overwrite).
         if args.loop_out and n_done % args.loop_every == 0 and pipe.last_tri is not None:
             from ov_plane_tpu.eval.loopclosure import loop_pack, save_pack
             from ov_plane_tpu.models.jacobians import clone_set_from_state as _csfs
@@ -411,7 +428,7 @@ def main():
                 np.asarray(state.calib_cam), np.asarray(state.cam_zeta),
                 lids, luv, lp3, lok, cfg.cam_wh,
             )
-            save_pack(args.loop_out, n_done, pack)
+            save_pack(args.loop_out, i, pack)
         # Per-frame state print at DEBUG verbosity (VioManager.cpp:956-985).
         printer.print_debug(
             f"state t={t:.3f} q={np.asarray(out.q).round(4)} p={np.asarray(out.p).round(3)} "
@@ -423,7 +440,8 @@ def main():
 
             save_npz(args.ckpt, state, bank)
             np.savez(args.ckpt + ".meta.npz",
-                     next_frame=i + args.downsample, times=np.asarray(times),
+                     next_frame=i + args.downsample, next_id=pipe.fe.next_id,
+                     times=np.asarray(times),
                      poss=np.asarray(poss), quats=np.asarray(quats))
             print(f"[euroc] checkpoint at frame {n_done} -> {args.ckpt}")
         if args.viz_dir and n_done % 25 == 0:
@@ -432,6 +450,7 @@ def main():
             print(f"[euroc] {n_done} frames, t={t:.2f}, p={np.asarray(out.p).round(3)}, "
                   f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}")
 
+    frames_it.close()  # early --max-frames break leaves the producer parked otherwise
     eio.write_tum(args.out, np.asarray(times), np.asarray(poss), np.asarray(quats))
     rec.write(args.timing)
     if args.plane_csv:

