@@ -57,6 +57,8 @@ def test_plane_vio_beats_point_only(sim):
     assert 0.02 < m_pl["nees_ori"] < 12.0, m_pl
     # Plane states were created and survive.
     assert int(jnp.sum(state_pl.plane_active)) >= 1
+    # The constraint-update counter (reference CSV column) actually counts.
+    assert int(jnp.sum(outs_pl.n_plane_constraints)) > 0
     # Plane constraints should not make things worse (usually much better).
     assert m_pl["rmse_pos"] <= 1.2 * m_pt["rmse_pos"], (m_pl, m_pt)
 
