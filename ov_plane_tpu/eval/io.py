@@ -49,13 +49,13 @@ PLANE_TRACK_COLUMNS = [
 
 
 def write_tum(path: str, times, pos, quat_GtoI):
-    """TUM format: `t tx ty tz qx qy qz qw` with the quaternion as q_ItoG
-    (Hamilton storage order matches the JPL inverse component-wise: negate the
-    vector part)."""
+    """TUM format: `t tx ty tz qx qy qz qw` with the quaternion as Hamilton
+    q_ItoG. JPL q_GtoI has IDENTICAL components to Hamilton q_ItoG (verified
+    numerically vs quat_2_rot; the reference's pose_to_file writes the state
+    quaternion unmodified), so no conjugation — write as-is."""
     times = np.asarray(times)
     pos = np.asarray(pos)
-    q = np.asarray(quat_GtoI)
-    q_out = np.concatenate([-q[:, 0:3], q[:, 3:4]], axis=1)  # inverse (I->G)
+    q_out = np.asarray(quat_GtoI)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write("# timestamp(s) tx ty tz qx qy qz qw\n")
@@ -70,8 +70,8 @@ def read_tum(path: str):
     data = np.loadtxt(path, comments="#")
     t = data[:, 0]
     pos = data[:, 1:4]
-    q_ItoG = data[:, 4:8]
-    q_GtoI = np.concatenate([-q_ItoG[:, 0:3], q_ItoG[:, 3:4]], axis=1)
+    # Hamilton q_ItoG (xyzw) == JPL q_GtoI component-wise: no conjugation.
+    q_GtoI = data[:, 4:8].copy()
     # Re-normalize: text quantization (6 decimals) leaves |q| != 1 by ~1e-6,
     # which arccos amplifies to ~0.05 deg of phantom orientation error.
     q_GtoI = q_GtoI / np.linalg.norm(q_GtoI, axis=1, keepdims=True)
@@ -103,8 +103,10 @@ def read_euroc_gt(path: str):
     vel = data[:, 8:11]
     bg = data[:, 11:14]
     ba = data[:, 14:17]
-    # Hamilton q_ItoG (w,x,y,z) → JPL q_GtoI (x,y,z,w): conjugate + reorder.
-    q_jpl = np.stack([-q_wxyz[:, 1], -q_wxyz[:, 2], -q_wxyz[:, 3], q_wxyz[:, 0]], axis=1)
+    # Hamilton q_ItoG (w,x,y,z) → JPL q_GtoI (x,y,z,w): plain reorder, NO
+    # conjugation — the two conventions share components for inverse frames
+    # (reference DatasetReader::get_gt_state does the same plain reorder).
+    q_jpl = np.stack([q_wxyz[:, 1], q_wxyz[:, 2], q_wxyz[:, 3], q_wxyz[:, 0]], axis=1)
     return t, pos, q_jpl, vel, bg, ba
 
 

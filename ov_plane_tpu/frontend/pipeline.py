@@ -384,7 +384,12 @@ class VisionPipeline:
             out = np.full((I, *x.shape[1:]), fill, x.dtype)
             out[: min(len(x), I)] = x[: I]
             return jnp.asarray(out)
+        # Frontend plane-id merges recorded by the last process_image call
+        # (applied in step() ≡ VioManager.cpp:516-533). Fixed [Q] shape so
+        # the jitted step compiles once.
+        mf, mi = getattr(self, "last_merges", (jnp.full(8, -1, jnp.int32),) * 2)
         return FrameData(
             imu_t=pad(imu_t, np.inf), imu_w=pad(imu_w, 0.0), imu_a=pad(imu_a, 0.0),
             t_new=jnp.asarray(t_new), obs_id=obs_id, obs_uv=obs_uv, obs_plane=obs_plane,
+            merge_from=mf, merge_into=mi,
         )

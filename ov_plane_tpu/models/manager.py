@@ -58,6 +58,11 @@ class FrameData(NamedTuple):
     # Optional frame validity (False = padding frame in a batched replay of
     # different-length sequences; the step becomes an identity).
     valid: jnp.ndarray = None       # scalar bool
+    # Frontend plane-id merge pairs for this frame (-1 padding): "old id
+    # merge_from[q] is now merge_into[q]" (TrackPlane get_plane2oldplane →
+    # StateHelper::merge_planes_and_marginalize, VioManager.cpp:516-533).
+    merge_from: jnp.ndarray = None  # [Q] int32
+    merge_into: jnp.ndarray = None  # [Q] int32
 
 
 class StepOutput(NamedTuple):
@@ -79,6 +84,8 @@ class StepOutput(NamedTuple):
     # out-of-state path + in-state plane rows) — the reference's
     # "num constraint updates" CSV column.
     n_plane_constraints: jnp.ndarray = None
+    # In-state plane pairs collapsed by a frontend id merge this frame.
+    n_plane_merges: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -105,6 +112,9 @@ class VioEngine:
     dt_slam_delay: float
     use_slam: bool
     use_planes: bool
+    sigma_plane_merge: float = 0.1
+    plane_merge_chi2: float = 1.0
+    plane_merge_deg_max: float = 1.0
     try_zupt: bool = False
     zupt_opts: "ZuptOptions" = None
     use_groundtruths: bool = False
@@ -234,6 +244,9 @@ class VioEngine:
             use_slam=cfg.state.max_slam_features > 0,
             use_groundtruths=cfg.state.use_groundtruths,
             use_planes=cfg.state.use_plane_constraint and cfg.state.use_plane_slam_feats,
+            sigma_plane_merge=cfg.state.sigma_plane_merge,
+            plane_merge_chi2=cfg.state.plane_merge_chi2,
+            plane_merge_deg_max=cfg.state.plane_merge_deg_max,
         )
 
 
@@ -340,12 +353,17 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         from ov_plane_tpu.models.zupt import try_zupt
 
         # Image disparity: this frame's observations vs. the newest clone's.
+        # Non-finite pixels are masked here with the same hygiene guard as
+        # ingest (step 2) — one NaN uv would make avg_disp NaN and silently
+        # disable the disparity acceptance path for the frame.
         prev_slot = state.newest_clone_slot
+        zupt_finite = jnp.all(jnp.isfinite(frame.obs_uv), axis=1)
         eqz = (frame.obs_id[:, None] == bank.fid[None, :]) & (bank.fid >= 0)[None, :]
         has_m = jnp.any(eqz, axis=1)
         rowz = jnp.argmax(eqz, axis=1)
-        both = has_m & bank.mask[rowz, prev_slot] & (frame.obs_id >= 0)
-        dd = jnp.linalg.norm(frame.obs_uv - bank.uv[rowz, prev_slot], axis=1)
+        both = has_m & bank.mask[rowz, prev_slot] & (frame.obs_id >= 0) & zupt_finite
+        dd = jnp.linalg.norm(jnp.where(zupt_finite[:, None], frame.obs_uv, 0.0)
+                             - bank.uv[rowz, prev_slot], axis=1)
         n_disp = jnp.sum(both)
         avg_disp = jnp.sum(jnp.where(both, dd, 0.0)) / jnp.maximum(n_disp, 1)
 
@@ -405,8 +423,27 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         # 4. Marginalize lost SLAM landmarks (StateHelper::marginalize_slam).
         state, n_slam_marg = marginalize_lost_slam(state, bank)
 
+    n_plane_merges = jnp.zeros((), jnp.int32)
     if eng.use_planes:
         # 5. Plane housekeeping + delayed plane initialization.
+        # 5a. Frontend plane-id merges FIRST (VioManager.cpp:516-533 applies
+        #     merge_planes_and_marginalize before marginalizing unseen
+        #     planes), so a merged-away id's information folds into the
+        #     survivor instead of being discarded by the unseen-marginalize.
+        if frame.merge_from is not None:
+            from ov_plane_tpu.models.plane_init import merge_planes
+
+            state, n_plane_merges = merge_planes(
+                state, frame.merge_from, frame.merge_into,
+                eng.sigma_plane_merge, eng.plane_merge_chi2, eng.plane_merge_deg_max,
+            )
+            # Relabel bank features still carrying a merged-away id (the
+            # frontend only re-labels features it observed this frame).
+            pid = bank.planeid
+            for q in range(frame.merge_from.shape[0]):
+                f, g = frame.merge_from[q], frame.merge_into[q]
+                pid = jnp.where((pid == f) & (f >= 0) & (g >= 0), g, pid)
+            bank = bank.replace(planeid=pid)
         marged_state, _ = marginalize_unseen_planes(state, bank, new_slot)
         state = jax.tree.map(lambda a, b: jnp.where(can_update & past_delay, a, b), marged_state, state)
         init_state2, init_bank2, n_plane_init = plane_delayed_init(state, bank, eng.plane_opts, new_slot)
@@ -505,6 +542,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         n_slam_init=n_slam_init,
         n_plane_init=n_plane_init,
         n_plane_constraints=n_plane_constraints,
+        n_plane_merges=n_plane_merges,
     )
     return state, bank, out
 

@@ -56,10 +56,16 @@ class Prefetcher:
         except BaseException as e:  # propagate to the consumer
             self._err = e
         finally:
-            try:
-                self._q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel must never be dropped: a consumer slower than the
+            # producer (the normal case) drains the queue and then blocks
+            # forever in __next__ if the sentinel was lost to queue.Full.
+            # Use the same bounded put-with-stop-check as for items.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def close(self):
         """Stop the producer and drop staged items. Safe to call repeatedly;
@@ -81,7 +87,22 @@ class Prefetcher:
             if self._err is not None:
                 raise self._err  # re-raise persistently, never block
             raise StopIteration
-        item = self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    # Producer died without a sentinel reaching us (e.g. a
+                    # concurrent close()); drain once more then terminate.
+                    try:
+                        item = self._q.get_nowait()
+                        break
+                    except queue.Empty:
+                        self._done = True
+                        if self._err is not None:
+                            raise self._err
+                        raise StopIteration
         if item is _SENTINEL:
             self._thread.join()
             self._done = True

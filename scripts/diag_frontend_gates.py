@@ -46,6 +46,14 @@ def main():
     ap.add_argument("--frames", type=int, default=35)
     ap.add_argument("--close-range", action=argparse.BooleanOptionalAction, default=True,
                     help="--no-close-range keeps the default 2-5 m feature range")
+    ap.add_argument("--textured", action="store_true",
+                    help="raycast-textured room render (the run_euroc synthetic "
+                         "path) instead of isolated blobs")
+    ap.add_argument("--imu", action="store_true",
+                    help="pass the IMU window to process_image (gyro LK prior "
+                         "+ 2-pt RANSAC gate), as run_euroc does")
+    ap.add_argument("--min-feat", type=int, default=8,
+                    help="plane_init_min_feat for the state-side CP init")
     args = ap.parse_args()
 
     cfg = sim_config()
@@ -53,7 +61,7 @@ def main():
     cfg.state.max_slam_features = 0
     cfg.state.use_plane_constraint = True
     cfg.state.use_plane_slam_feats = True
-    cfg.state.plane_init_min_feat = 8
+    cfg.state.plane_init_min_feat = args.min_feat
     cfg.state.do_calib_camera_pose = False
     cfg.state.do_calib_camera_intrinsics = False
     cfg.state.do_calib_camera_timeoffset = False
@@ -73,6 +81,14 @@ def main():
         cfg.sim.min_feature_gen_distance = 0.7
         cfg.sim.max_feature_gen_distance = 2.0
     sim = build_sim(cfg, max_obs=64)
+    planes = None
+    if args.textured:
+        from ov_plane_tpu.frontend.synthetic import render_frame_textured
+        from ov_plane_tpu.sim.simulator import generate_planes
+        from ov_plane_tpu.sim.trajectory import get_trajectory
+
+        _, traj_pos, _ = get_trajectory(cfg.sim)
+        planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
 
     eng = VioEngine.from_config(cfg)
     state = init_state_with_gt(eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0],
@@ -92,13 +108,25 @@ def main():
     deaths_border, deaths_interior, death_ages = 0, 0, []
     for i in range(1, min(args.frames, sim.cam_t_imu.shape[0] - 1) + 1):
         R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
-        img = render_frame(feat_p, R_GtoI, np.asarray(sim.gt_p[i]), R_ItoC,
-                           p_IinC, zeta, cfg.cam_wh)
+        if args.textured:
+            img = render_frame_textured(planes.corners, planes.normal, planes.d,
+                                        feat_p, R_GtoI, np.asarray(sim.gt_p[i]),
+                                        R_ItoC, p_IinC, zeta, cfg.cam_wh)
+        else:
+            img = render_frame(feat_p, R_GtoI, np.asarray(sim.gt_p[i]), R_ItoC,
+                               p_IinC, zeta, cfg.cam_wh)
         prev_valid = pipe.fe.valid.copy()
         prev_uv = pipe.fe.uv.copy()
         prev_ids = pipe.fe.ids.copy()
         prev_age = pipe.fe.tri_n.copy()
-        obs = pipe.process_image(img, state, bank)
+        start0 = int(sim.imu_window_start[i])
+        end0 = min(start0 + cfg.tpu.max_imu_per_frame, len(imu_t))
+        if args.imu:
+            obs = pipe.process_image(img, state, bank,
+                                     imu_t=imu_t[start0:end0], imu_w=imu_w[start0:end0],
+                                     t_new=float(sim.cam_t_imu[i]))
+        else:
+            obs = pipe.process_image(img, state, bank)
         died = prev_valid & (~pipe.fe.valid | (pipe.fe.ids != prev_ids))
         if died.any():
             u = prev_uv[died]

@@ -121,7 +121,8 @@ def main():
                 if t < args.skip_start:
                     continue
                 q = np.asarray(sim.gt_q[k])          # JPL x,y,z,w (GtoI)
-                q_wxyz = [q[3], -q[0], -q[1], -q[2]]  # Hamilton ItoG
+                # JPL q_GtoI shares components with Hamilton q_ItoG: reorder only.
+                q_wxyz = [q[3], q[0], q[1], q[2]]     # Hamilton ItoG (w,x,y,z)
                 row = [int(t * 1e9), *np.asarray(sim.gt_p[k]), *q_wxyz,
                        *np.asarray(sim.gt_v[k]), *np.asarray(sim.gt_bg_cam[k]),
                        *np.asarray(sim.gt_ba_cam[k])]

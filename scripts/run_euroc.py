@@ -345,6 +345,12 @@ def main():
         times = list(meta["times"])
         poss = list(meta["poss"])
         quats = list(meta["quats"])
+        # Restore recorder rows so the timing / plane-stats CSVs cover the
+        # full run, not just post-resume frames (their write() truncates).
+        if "timing_rows" in meta:
+            rec.rows = [list(r) for r in meta["timing_rows"]]
+        if "plane_rows" in meta:
+            prec.rows = [list(r) for r in meta["plane_rows"]]
         pipe.fe.prev_pyr = None  # tracker re-bootstraps
         # Reissued frontend ids must not collide with feature ids still alive
         # in the restored bank/SLAM state (fb.ingest matches by id — a clash
@@ -442,7 +448,11 @@ def main():
             np.savez(args.ckpt + ".meta.npz",
                      next_frame=i + args.downsample, next_id=pipe.fe.next_id,
                      times=np.asarray(times),
-                     poss=np.asarray(poss), quats=np.asarray(quats))
+                     poss=np.asarray(poss), quats=np.asarray(quats),
+                     # Recorder rows too, so post-resume CSVs cover the same
+                     # frame range as the trajectory (write() opens in 'w').
+                     timing_rows=np.asarray(rec.rows, dtype=float),
+                     plane_rows=np.asarray(prec.rows, dtype=float))
             print(f"[euroc] checkpoint at frame {n_done} -> {args.ckpt}")
         if args.viz_dir and n_done % 25 == 0:
             _save_viz_images(args.viz_dir, n_done, img, pipe.fe)

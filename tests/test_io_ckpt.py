@@ -35,8 +35,25 @@ def test_euroc_gt_parse(tmp_path):
     t, pos, q, v, bg, ba = eio.read_euroc_gt(path)
     assert abs(t[0] - 1403636580.838555648) < 1e-6
     np.testing.assert_allclose(pos[0], [4.6, -1.8, 0.8])
-    np.testing.assert_allclose(q[0], [0.15, 0.82, 0.08, 0.53])
+    # JPL q_GtoI == Hamilton q_ItoG component-wise: plain wxyz→xyzw reorder,
+    # no conjugation, no renormalization (reference DatasetReader parses raw).
+    np.testing.assert_allclose(q[0], [-0.15, -0.82, -0.08, 0.53], atol=1e-12)
     np.testing.assert_allclose(bg[0], [0.01, 0.02, 0.03])
+
+
+def test_quaternion_convention_semantics():
+    """write_tum/read_euroc_gt must agree with quat_2_rot: a JPL q_GtoI has
+    the same components as the Hamilton q_ItoG that scipy produces for the
+    inverse rotation (reference DatasetReader does a plain reorder)."""
+    from scipy.spatial.transform import Rotation
+    from ov_plane_tpu.ops.quat import quat_2_rot
+
+    rng = np.random.default_rng(7)
+    rv = rng.normal(size=3)
+    R_ItoG = Rotation.from_rotvec(rv).as_matrix()
+    q_h_xyzw = Rotation.from_matrix(R_ItoG).as_quat()  # Hamilton I->G
+    R_jpl = np.asarray(quat_2_rot(jnp.asarray(q_h_xyzw)))  # JPL: same comps = G->I
+    np.testing.assert_allclose(R_jpl, R_ItoG.T, atol=1e-12)
 
 
 def test_timing_recorder(tmp_path):
