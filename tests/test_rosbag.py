@@ -1,0 +1,81 @@
+"""ROS1 bag reader round-trip (reference replays AR-Table bags via
+rosbag::View, ros1_serial_msckf.cpp:132-190; here a pure-python parser)."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from ov_plane_tpu.eval.rosbag import (
+    BagReader, read_bag, serialize_image, serialize_imu, write_bag,
+)
+
+
+def _make_messages(n_imu=40, n_img=5, w=32, h=24, seed=3):
+    rng = np.random.default_rng(seed)
+    msgs = []
+    imu_t = 100.0 + np.arange(n_imu) * 0.005
+    imu_w = rng.normal(size=(n_imu, 3))
+    imu_a = rng.normal(size=(n_imu, 3)) + [0, 0, 9.81]
+    for t, wv, av in zip(imu_t, imu_w, imu_a):
+        msgs.append(("/imu0", "sensor_msgs/Imu", t, serialize_imu(t, wv, av)))
+    img_t = 100.0 + np.arange(n_img) * 0.05
+    imgs = [rng.uniform(size=(h, w)) for _ in range(n_img)]
+    for t, im in zip(img_t, imgs):
+        msgs.append(("/cam0/image_raw", "sensor_msgs/Image", t, serialize_image(t, im)))
+    return msgs, (imu_t, imu_w, imu_a, img_t, imgs)
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_bag_roundtrip(tmp_path, compression):
+    msgs, (imu_t, imu_w, imu_a, img_t, imgs) = _make_messages()
+    path = str(tmp_path / "mini.bag")
+    write_bag(path, msgs, compression=compression)
+
+    bag = BagReader(path)
+    assert bag.topics == {"/imu0": "sensor_msgs/Imu",
+                          "/cam0/image_raw": "sensor_msgs/Image"}
+
+    rt_imu_t, rt_w, rt_a, rt_cam_t, rt_imgs = read_bag(path, "/imu0", "/cam0/image_raw")
+    np.testing.assert_allclose(rt_imu_t, imu_t, atol=1e-9)
+    np.testing.assert_allclose(rt_w, imu_w, atol=1e-12)
+    np.testing.assert_allclose(rt_a, imu_a, atol=1e-12)
+    np.testing.assert_allclose(rt_cam_t, img_t, atol=1e-9)
+    assert len(rt_imgs) == len(imgs)
+    for got, exp in zip(rt_imgs, imgs):
+        assert got.shape == exp.shape
+        # mono8 quantization: 1/255 resolution
+        np.testing.assert_allclose(got, exp, atol=1.0 / 254)
+
+
+def test_bag_topic_filter(tmp_path):
+    msgs, _ = _make_messages()
+    path = str(tmp_path / "mini.bag")
+    write_bag(path, msgs)
+    seen = [t for t, _typ, _t, _d in BagReader(path).read_messages({"/imu0"})]
+    assert set(seen) == {"/imu0"}
+
+
+def test_bag_to_asl_converter(tmp_path):
+    msgs, (imu_t, _, _, img_t, _) = _make_messages()
+    bagp = str(tmp_path / "mini.bag")
+    write_bag(bagp, msgs, compression="bz2")
+    out = str(tmp_path / "asl")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "bag_to_asl.py"),
+         "--bag", bagp, "--out", out],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    base = os.path.join(out, "mav0")
+    imu_rows = np.loadtxt(os.path.join(base, "imu0", "data.csv"),
+                          delimiter=",", comments="#")
+    assert imu_rows.shape == (len(imu_t), 7)
+    np.testing.assert_allclose(imu_rows[:, 0] * 1e-9, imu_t, atol=1e-8)
+    cam_rows = open(os.path.join(base, "cam0", "data.csv")).read().strip().splitlines()
+    assert len(cam_rows) - 1 == len(img_t)
+    first = cam_rows[1].split(",")[1]
+    assert os.path.exists(os.path.join(base, "cam0", "data", first))
