@@ -92,7 +92,21 @@ def _bilinear_patch(img, center_xy, offsets):
 
 
 def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
-    """Track one feature at one pyramid level. Returns (flow, ok, err)."""
+    """Track one feature at one pyramid level. Returns (flow, ok, err).
+
+    OpenCV-matching failure semantics (the earlier stricter variant killed
+    ~50% of FRESH detections on their first track, capping co-planar support
+    below plane_init_min_feat — measured, not hypothetical):
+
+    * a patch below the min-eig conditioning gate at THIS level keeps the
+      incoming flow guess instead of iterating on garbage (coarse pyramid
+      levels are legitimately flat under band-limited texture; cv::
+      calcOpticalFlowPyrLK only rejects the feature when level 0 fails);
+    * a divergent Newton step (non-finite, or larger than the patch window —
+      the near-singular-det explosion) halts iteration at this level rather
+      than launching the track tens of pixels away, which previously turned
+      one flat level into an unrecoverable forward-backward failure.
+    """
     w = opts.window
     r = jnp.arange(-w, w + 1, dtype=img0.dtype)
     oy, ox = jnp.meshgrid(r, r, indexing="ij")
@@ -109,17 +123,22 @@ def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
     n_px = offsets.shape[0]
     ok = min_eig / n_px > opts.min_eig
     det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    max_step = jnp.asarray(float(2 * w + 1), pt0.dtype)
 
-    def body(flow, _):
+    def body(carry, _):
+        flow, active = carry
         cur = _bilinear_patch(img1, pt0 + flow, offsets)
         di = cur - t_patch
         bx = jnp.sum(di * gx_p)
         by = jnp.sum(di * gy_p)
         dx = (gyy * bx - gxy * by) / det_s
         dy = (-gxy * bx + gxx * by) / det_s
-        return flow - jnp.stack([dx, dy]), None
+        delta = jnp.stack([dx, dy])
+        step_ok = jnp.all(jnp.isfinite(delta)) & (jnp.sum(delta * delta) <= max_step * max_step)
+        upd = active & step_ok
+        return (jnp.where(upd, flow - delta, flow), upd), None
 
-    flow, _ = jax.lax.scan(body, guess, None, length=opts.iters)
+    (flow, _), _ = jax.lax.scan(body, (guess, ok), None, length=opts.iters)
     final = _bilinear_patch(img1, pt0 + flow, offsets)
     err = jnp.mean(jnp.abs(final - t_patch))
     return flow, ok, err
@@ -157,7 +176,10 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
                 gx0, gy0 = gradsa[lvl]
                 f_l, ok_l, err = _track_level(pyra[lvl], gx0, gy0, pyrb[lvl], pt0 / scale, flow / scale, opts)
                 flow = f_l * scale
-                okl = okl & ok_l
+                # Validity gates on the FINEST level's conditioning only
+                # (cv::calcOpticalFlowPyrLK semantics): flat coarse levels
+                # merely skip refinement inside _track_level.
+                okl = ok_l
             return pt0 + flow, okl, err
 
         return jax.vmap(one)(pts_from, flow0)

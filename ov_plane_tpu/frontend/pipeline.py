@@ -217,21 +217,63 @@ class VisionPipeline:
             fe.tri_n[v] += 1
 
         # 1. KLT-track previous features (fixed [cap] slots, masked), seeded
-        #    with the rotation-induced flow prediction when the gyro is
-        #    available — rotation dominates inter-frame pixel motion and LK's
-        #    basin is only ~the window size per pyramid level.
+        #    with a full predicted-pose flow prior when the gyro is available.
+        #    Rotation dominates inter-frame pixel motion, but at close range
+        #    (the plane regime: 0.7-2 m walls) translation-induced flow is
+        #    tens of pixels too — outside LK's basin (~window per pyramid
+        #    level). The prior propagates the previous pose by the integrated
+        #    gyro rotation + the state velocity and reprojects each track at
+        #    its whole-track triangulated depth (median scene depth for young
+        #    tracks, rotation-only until any depth exists) — the analogue of
+        #    the reference seeding LK with predicted positions.
         if fe.prev_pyr is not None and fe.valid.any():
             pts0 = jnp.asarray(fe.uv, jnp.float32)
             uvn_prev = und(pts0)
             init_flow = None
             if R_cam is not None:
-                b = jnp.concatenate([uvn_prev, jnp.ones_like(uvn_prev[:, :1])], axis=1)
-                b_rot = b @ R_cam.T                       # bearings in the new frame
-                pred = jax.vmap(lambda p: cams.project(p, zeta, self.eng.cam_model)[0])(b_rot)
+                from ov_plane_tpu.ops.quat import quat_2_rot as _q2r
+
+                R_GtoI_prev = np.asarray(_q2r(state.imu[0:4]))
+                R_ItoC_np = np.asarray(_q2r(state.calib_cam[0:4]))
+                p_IinC_np = np.asarray(state.calib_cam[4:7])
+                R_GtoC_prev = R_ItoC_np @ R_GtoI_prev
+                R_cam_np = np.asarray(R_cam)               # C_prev → C_new
+                R_GtoC_new = R_cam_np @ R_GtoC_prev
+                p_I_prev = np.asarray(state.imu[4:7])
+                v_IinG = np.asarray(state.imu[7:10])
+                dt = max(float(t_new) - float(state.t), 0.0) if t_new is not None else 0.0
+                p_C_prev = p_I_prev - R_GtoC_prev.T @ p_IinC_np
+                p_C_new = (p_I_prev + v_IinG * dt) - R_GtoC_new.T @ p_IinC_np
+
+                # Rough per-slot depth from the accumulated whole-track
+                # systems (no gates — a coarse depth is enough for a prior).
+                b_np = np.concatenate(
+                    [np.asarray(uvn_prev, np.float64), np.ones((fe.cap, 1))], axis=1)
+                has_tri = fe.valid & (fe.tri_n >= 2)
+                A = fe.tri_A + np.where(has_tri, 0.0, 1.0)[:, None, None] * np.eye(3)
+                with np.errstate(all="ignore"):
+                    p3r = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
+                z = (p3r - p_C_prev) @ R_GtoC_prev[2]
+                tp_o = cfg.trackplane
+                good_d = (has_tri & np.isfinite(z)
+                          & (z > tp_o.min_dist) & (z < tp_o.max_dist))
+                med = float(np.median(z[good_d])) if good_d.any() else np.inf
+                depth = np.where(good_d, z, med)
+                finite_d = np.isfinite(depth) & fe.valid
+                # Predicted direction in the new camera frame: full 3D point
+                # reprojection where a depth exists, pure rotation otherwise
+                # (infinite-depth limit of the same formula).
+                pt_C_prev = b_np * np.where(finite_d, depth, 1.0)[:, None]
+                pt_G = pt_C_prev @ R_GtoC_prev + p_C_prev
+                pt_C_new = (pt_G - p_C_new) @ R_GtoC_new.T
+                b_rot = b_np @ R_cam_np.T
+                dir_new = jnp.asarray(np.where(finite_d[:, None], pt_C_new, b_rot),
+                                      jnp.float32)
+                pred = jax.vmap(lambda p: cams.project(p, zeta, self.eng.cam_model)[0])(dir_new)
                 flow = (pred - pts0).astype(jnp.float32)
-                # Trust the prior only where the rotated bearing stays in
+                # Trust the prior only where the predicted point stays in
                 # front of the camera and the prediction is finite.
-                good = (b_rot[:, 2] > 0.1) & jnp.all(jnp.isfinite(flow), axis=1)
+                good = (dir_new[:, 2] > 0.1) & jnp.all(jnp.isfinite(flow), axis=1)
                 init_flow = jnp.where(good[:, None], flow, 0.0)
             p1, ok = fklt.track(fe.prev_pyr, pyr, pts0, jnp.asarray(fe.valid),
                                 self.klt_opts, init_flow)

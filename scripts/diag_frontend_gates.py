@@ -54,10 +54,17 @@ def main():
                          "+ 2-pt RANSAC gate), as run_euroc does")
     ap.add_argument("--min-feat", type=int, default=8,
                     help="plane_init_min_feat for the state-side CP init")
+    ap.add_argument("--freq-cam", type=float, default=20.0,
+                    help="camera rate (EuRoC runs 20 Hz)")
+    ap.add_argument("--blobs", action=argparse.BooleanOptionalAction, default=False,
+                    help="overlay feature blobs in --textured mode (default "
+                         "off: FAST detects on the world-anchored plane "
+                         "texture itself)")
     args = ap.parse_args()
 
     cfg = sim_config()
     cfg.sim.traj_duration = 6.0
+    cfg.sim.freq_cam = args.freq_cam
     cfg.state.max_slam_features = 0
     cfg.state.use_plane_constraint = True
     cfg.state.use_plane_slam_feats = True
@@ -111,7 +118,8 @@ def main():
         if args.textured:
             img = render_frame_textured(planes.corners, planes.normal, planes.d,
                                         feat_p, R_GtoI, np.asarray(sim.gt_p[i]),
-                                        R_ItoC, p_IinC, zeta, cfg.cam_wh)
+                                        R_ItoC, p_IinC, zeta, cfg.cam_wh,
+                                        blobs=args.blobs)
         else:
             img = render_frame(feat_p, R_GtoI, np.asarray(sim.gt_p[i]), R_ItoC,
                                p_IinC, zeta, cfg.cam_wh)

@@ -78,10 +78,19 @@ def test_vision_pipeline_tracks_and_filters():
 
 @pytest.mark.slow
 def test_vision_pipeline_with_plane_detection():
-    """Full plane-aided stack from images: KLT/FAST -> Delaunay plane
-    detection -> CP plane states in the filter (config-3 + planes)."""
+    """Full plane-aided stack from images: KLT/FAST on the raycast-textured
+    room -> Delaunay plane detection -> CP plane states + point-on-plane
+    constraints in the filter (config-3 + planes).
+
+    The scene is the realistic close-range regime (0.7-2 m walls, 20 Hz
+    camera, world-anchored speckle texture, no artificial blob overlays) and
+    process_image gets the IMU window, so the full predicted-pose LK prior +
+    gyro RANSAC run — the configuration where image-driven CP plane
+    initialization actually fires (reference loop: TrackPlane.cpp:580-1121 →
+    UpdaterPlane.cpp:61-481)."""
     cfg = sim_config()
     cfg.sim.traj_duration = 6.0
+    cfg.sim.freq_cam = 20.0
     cfg.state.max_slam_features = 0
     cfg.state.use_plane_constraint = True
     cfg.state.use_plane_slam_feats = True
@@ -101,7 +110,16 @@ def test_vision_pipeline_with_plane_detection():
     cfg.trackplane.max_norm_avg_var = 30.0
     cfg.trackplane.max_norm_avg_max = 30.0
     cfg.msckf_options.chi2_multipler = 5.0  # vision tracks need outlier gating
+    cfg.sim.min_feature_gen_distance = 0.7
+    cfg.sim.max_feature_gen_distance = 2.0
     sim = build_sim(cfg, max_obs=64)
+
+    from ov_plane_tpu.frontend.synthetic import render_frame_textured
+    from ov_plane_tpu.sim.simulator import generate_planes
+    from ov_plane_tpu.sim.trajectory import get_trajectory
+
+    _, traj_pos, _ = get_trajectory(cfg.sim)
+    planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
 
     eng = VioEngine.from_config(cfg)
     state = init_state_with_gt(
@@ -119,25 +137,36 @@ def test_vision_pipeline_with_plane_detection():
     imu_w = np.asarray(sim.imu_w)
     imu_a = np.asarray(sim.imu_a)
 
-    n_frames = min(35, sim.cam_t_imu.shape[0] - 1)
+    n_frames = min(85, sim.cam_t_imu.shape[0] - 1)
     n_plane_assoc = 0
+    n_plane_init = 0
+    n_plane_constraints = 0
+    max_planes = 0
     for i in range(1, n_frames + 1):
         R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
         p_IinG = np.asarray(sim.gt_p[i])
-        img = render_frame(feat_p, R_GtoI, p_IinG, R_ItoC, p_IinC, zeta, cfg.cam_wh)
-        obs = pipe.process_image(img, state, bank)
-        n_plane_assoc += int(jnp.sum(obs[2] >= 0))
+        img = render_frame_textured(planes.corners, planes.normal, planes.d,
+                                    feat_p, R_GtoI, p_IinG, R_ItoC, p_IinC,
+                                    zeta, cfg.cam_wh, blobs=False)
         start = int(sim.imu_window_start[i])
         end = min(start + cfg.tpu.max_imu_per_frame, len(imu_t))
+        obs = pipe.process_image(img, state, bank,
+                                 imu_t=imu_t[start:end], imu_w=imu_w[start:end],
+                                 t_new=float(sim.cam_t_imu[i]))
+        n_plane_assoc += int(jnp.sum(obs[2] >= 0))
         frame = pipe.make_frame(obs, imu_t[start:end], imu_w[start:end], imu_a[start:end],
                                 float(sim.cam_t_imu[i]))
         state, bank, out = step(eng, state, bank, frame)
+        n_plane_init += int(out.n_plane_init)
+        n_plane_constraints += int(out.n_plane_constraints)
+        max_planes = max(max_planes, int(out.n_planes))
         err = float(jnp.linalg.norm(out.p - sim.gt_p[i]))
         assert err < 1.5, (i, err)
 
-    # The image-based plane frontend must produce plane associations.
-    # Sustained CP-state initialization from imagery needs longer track
-    # survival than the synthetic renderer's features provide at range
-    # (triangulated-normal noise physics — see PARITY.md TrackPlane notes);
-    # the CP init/update path itself is covered by the sim-path e2e tests.
+    # The image-based plane frontend must produce plane associations, and the
+    # full loop must complete: a CP plane state initialized from imagery and
+    # point-on-plane constraint updates applied by the filter.
     assert n_plane_assoc > 0, "no image-based plane associations produced"
+    assert n_plane_init >= 1, "image-driven CP plane init never fired"
+    assert max_planes >= 1, "no CP plane state ever active"
+    assert n_plane_constraints > 0, "no plane constraint updates applied"
