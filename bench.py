@@ -71,6 +71,127 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 UNROLL = int(os.environ.get("BENCH_UNROLL", "1"))
 
 
+def main_vision():
+    """BENCH_MODE=vision: full vision-path throughput — KLT+FAST tracking,
+    Delaunay plane detection, and the filter step on rendered frames (the
+    reference's real-time claim covers tracking: VioManager.cpp:879-928).
+
+    Frames are pre-rendered on the host (render cost excluded — it stands in
+    for the camera); the timed loop is process_image + step, i.e. everything
+    the reference times in its per-frame CSV. Reports steady-state frames/s
+    and the per-stage breakdown; vs_baseline is against the 20 fps EuRoC
+    camera rate (the reference's "real-time" bar on CPU).
+    """
+    from ov_plane_tpu.frontend.pipeline import VisionPipeline
+    from ov_plane_tpu.frontend.synthetic import render_frame_textured
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, step
+    from ov_plane_tpu.ops.quat import quat_2_rot
+    from ov_plane_tpu.sim.simulator import build_sim, generate_planes
+    from ov_plane_tpu.sim.trajectory import get_trajectory
+    from ov_plane_tpu.utils.config import sim_config
+
+    REALTIME_FPS = 20.0                       # EuRoC camera rate = realtime 1x
+    N_FRAMES = int(os.environ.get("BENCH_VISION_FRAMES", "80"))
+    WARMUP = 10
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = max(6.0, (N_FRAMES + 2) / 20.0)
+    cfg.sim.freq_cam = 20.0
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = True
+    cfg.state.use_plane_slam_feats = True
+    cfg.state.plane_init_min_feat = 8
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 15
+    cfg.num_pts_plane = 40
+    cfg.cam_wh = [640, 480]
+    cfg.cam_intrinsics = [300.0, 300.0, 320.0, 240.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.histogram_method = "NONE"
+    cfg.tpu.max_features = 128
+    cfg.tpu.max_obs_per_frame = 64
+    cfg.tpu.max_msckf_update = 24
+    cfg.trackplane.min_norms = 3
+    cfg.trackplane.max_norm_avg_var = 30.0
+    cfg.trackplane.max_norm_avg_max = 30.0
+    cfg.msckf_options.chi2_multipler = 5.0
+    cfg.sim.min_feature_gen_distance = 0.7
+    cfg.sim.max_feature_gen_distance = 2.0
+
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        sim = build_sim(cfg, max_obs=64)
+    _, traj_pos, _ = get_trajectory(cfg.sim)
+    planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
+
+    R_ItoC = np.asarray(quat_2_rot(jnp.asarray(cfg.cam_extrinsics[0:4])))
+    p_IinC = np.asarray(cfg.cam_extrinsics[4:7])
+    zeta = np.asarray(cfg.cam_intrinsics)
+    feat_p = np.asarray(sim.feat_p)
+    n = min(N_FRAMES, sim.cam_t_imu.shape[0] - 1)
+    frames = []
+    for i in range(1, n + 1):
+        R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
+        frames.append(render_frame_textured(
+            planes.corners, planes.normal, planes.d, feat_p, R_GtoI,
+            np.asarray(sim.gt_p[i]), R_ItoC, p_IinC, zeta, cfg.cam_wh, blobs=False))
+    print(f"[bench] rendered {n} frames in {time.time()-t0:.1f}s (host, untimed)",
+          file=sys.stderr)
+
+    eng = VioEngine.from_config(cfg)
+    state = init_state_with_gt(
+        eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
+        v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0])
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    pipe = VisionPipeline(cfg, eng)
+    imu_t, imu_w, imu_a = map(np.asarray, (sim.imu_t, sim.imu_w, sim.imu_a))
+
+    stage_track, stage_plane, stage_step = [], [], []
+    t_loop0 = time.time()
+    t_steady = None
+    n_init, n_constr, max_planes = 0, 0, 0
+    for i in range(1, n + 1):
+        if i == WARMUP + 1:
+            t_steady = time.time()
+        start = int(sim.imu_window_start[i])
+        end = min(start + cfg.tpu.max_imu_per_frame, len(imu_t))
+        t_a = time.perf_counter()
+        obs = pipe.process_image(frames[i - 1], state, bank,
+                                 imu_t=imu_t[start:end], imu_w=imu_w[start:end],
+                                 t_new=float(sim.cam_t_imu[i]))
+        t_b = time.perf_counter()
+        frame = pipe.make_frame(obs, imu_t[start:end], imu_w[start:end],
+                                imu_a[start:end], float(sim.cam_t_imu[i]))
+        state, bank, out = step(eng, state, bank, frame)
+        jax.block_until_ready(out.p)
+        t_c = time.perf_counter()
+        if i > WARMUP:
+            stage_track.append(t_b - t_a - pipe.last_plane_stats.get("total", 0.0))
+            stage_plane.append(pipe.last_plane_stats.get("total", 0.0))
+            stage_step.append(t_c - t_b)
+        n_init += int(out.n_plane_init)
+        n_constr += int(out.n_plane_constraints)
+        max_planes = max(max_planes, int(out.n_planes))
+    wall = time.time() - (t_steady or t_loop0)
+    n_timed = n - WARMUP
+    fps = n_timed / wall
+    print(f"[bench] vision path: {n_timed} steady frames in {wall:.2f}s; "
+          f"stages(ms): track={1e3*np.mean(stage_track):.1f} "
+          f"plane={1e3*np.mean(stage_plane):.1f} filter={1e3*np.mean(stage_step):.1f}; "
+          f"plane_init={n_init} constraints={n_constr} max_planes={max_planes}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "vision_vio_frames_per_sec_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REALTIME_FPS, 3),
+    }))
+
+
 def main():
     from ov_plane_tpu.eval.metrics import rmse_nees
     from ov_plane_tpu.models.feature_bank import FeatureBank
@@ -172,4 +293,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "sim") == "vision":
+        main_vision()
+    else:
+        main()

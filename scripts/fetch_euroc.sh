@@ -45,3 +45,17 @@ ARTABLE_BASE="https://drive.google.com/drive/folders/1G_0R3asxTsDvbFJw7gDGEvUMqC
 echo "[fetch] AR-Table sequences are hosted on Google Drive: $ARTABLE_BASE"
 echo "[fetch] download table_01_okvis.bag .. table_08_okvis.bag manually, then:"
 echo "        python scripts/bag_to_asl.py --bag table_01.bag --out $DEST/table_01"
+
+# ---- Replay protocol (run after the data is in place) --------------------
+# Reference-equivalent posyaw ATE per sequence (results/run_ros_eth.sh +
+# ov_eval error_dataset); --use-planes for the plane-aided variant.
+if [ "${REPLAY:-0}" = "1" ]; then
+  for name in V1_01_easy V1_02_medium V1_03_difficult V2_01_easy V2_02_medium V2_03_difficult; do
+    [ -d "$DEST/$name/mav0" ] || continue
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 \
+      python scripts/run_euroc.py --data "$DEST/$name" \
+        --out "/tmp/${name}_traj.txt" --timing "/tmp/${name}_timing.csv" --use-planes
+    python scripts/ov_eval.py error_dataset posyaw \
+      "$DEST/$name/mav0/state_groundtruth_estimate0/data.csv" "/tmp/${name}_traj.txt"
+  done
+fi

@@ -61,6 +61,11 @@ def main():
                     help="raycast-render the cuboid room with procedural "
                          "plane textures (realistic dense texture for "
                          "KLT/FAST) instead of isolated feature blobs")
+    ap.add_argument("--blobs", action=argparse.BooleanOptionalAction, default=True,
+                    help="--no-blobs drops the feature-blob overlays in "
+                         "--textured mode: FAST then detects on the "
+                         "world-anchored plane texture itself (the regime "
+                         "where image-driven CP plane init fires)")
     args = ap.parse_args()
 
     cfg = sim_config()
@@ -102,7 +107,8 @@ def main():
             if args.textured:
                 img = render_frame_textured(
                     planes.corners, planes.normal, planes.d, feat_p, R,
-                    np.asarray(sim.gt_p[k]), R_ItoC, p_IinC, zeta, cfg.cam_wh)
+                    np.asarray(sim.gt_p[k]), R_ItoC, p_IinC, zeta, cfg.cam_wh,
+                    blobs=args.blobs)
             else:
                 img = render_frame(feat_p, R, np.asarray(sim.gt_p[k]), R_ItoC, p_IinC,
                                    zeta, cfg.cam_wh)

@@ -166,6 +166,17 @@ def main():
         # for OpenCV KLT on real texture); whiten accordingly.
         cfg.msckf_options.sigma_pix = 2.0
         cfg.slam_options.sigma_pix = 2.0
+        if args.use_planes:
+            # Plane-clustering gates tuned for the synthetic close-range
+            # room (same values the image-driven plane e2e validates): the
+            # triangulated-normal noise at this feature density needs the
+            # looser averaging gates, and support builds to ~10-40 co-planar
+            # features so the reference's init threshold is reachable.
+            cfg.state.plane_init_min_feat = 8
+            cfg.trackplane.min_norms = 3
+            cfg.trackplane.max_norm_avg_var = 30.0
+            cfg.trackplane.max_norm_avg_max = 30.0
+            cfg.msckf_options.chi2_multipler = 5.0
     if args.config:
         cfg = load_yaml(args.config, base=cfg)
     cfg.state.use_plane_constraint = args.use_planes
