@@ -113,22 +113,31 @@ def augment_clone_timeoffset(cov: jnp.ndarray, dst, dnc_dt: jnp.ndarray, dt_idx:
 @jax.jit
 def kalman_update(cov: jnp.ndarray, H: jnp.ndarray, res: jnp.ndarray, r_diag: jnp.ndarray):
     """Standard EKF update with full-width H (StateHelper::EKFUpdate,
-    StateHelper.cpp:121-202).
+    StateHelper.cpp:121-202), in square-root form.
+
+    With L = chol(S), W = L⁻¹ (H P), u = L⁻¹ res:
+        P'  = P − P Hᵀ S⁻¹ H P = P − Wᵀ W     (symmetric by construction)
+        dx  = P Hᵀ S⁻¹ res     = Wᵀ u
+        χ²  = resᵀ S⁻¹ res     = uᵀ u
+    One triangular solve + one rank-M SYRK instead of cho_solve's two solves
+    plus an explicit K·(HP)ᵀ — fewer FLOPs, and the downdate is exactly
+    symmetric (no post-hoc 0.5(A+Aᵀ)), keeping P PSD to rounding.
 
     Masked rows must have H-row = 0, res = 0, r_diag = 1.
     Returns (dx[D], new_cov, chi2) where chi2 = resᵀ S⁻¹ res (full stacked
     residual — per-path gates slice their own).
     """
-    Ma = cov @ H.T                                    # [D, M]
+    from jax.scipy.linalg import solve_triangular
+
+    Ma = cov @ H.T                                    # P Hᵀ : [D, M]
     S = H @ Ma + jnp.diag(r_diag)                     # [M, M]
     S = 0.5 * (S + S.T)
-    chol = cho_factor(S, lower=True)
-    Sinv_Mat = cho_solve(chol, Ma.T)                  # S^{-1} (H P) : [M, D]
-    K = Sinv_Mat.T                                    # P Hᵀ S^{-1} : [D, M]
-    new_cov = cov - K @ Ma.T
-    new_cov = 0.5 * (new_cov + new_cov.T)
-    dx = K @ res
-    chi2 = res @ cho_solve(chol, res)
+    L = jnp.linalg.cholesky(S)                        # lower
+    W = solve_triangular(L, Ma.T, lower=True)         # L⁻¹ (H P) : [M, D]
+    u = solve_triangular(L, res, lower=True)          # [M]
+    new_cov = cov - W.T @ W
+    dx = W.T @ u
+    chi2 = u @ u
     return dx, new_cov, chi2
 
 

@@ -23,6 +23,24 @@ def test_gram_reduce_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(eta), np.asarray(H.T @ r), rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.skipif(not pk._HAVE_PALLAS, reason="pallas unavailable")
+def test_gram_reduce_vmapped_native_batch():
+    """vmap must route through the custom_vmap rule onto the natively batched
+    kernel (grid (B, tiles)) — the pallas auto-batching rule synthesizes i64
+    index-map literals under x64 that Mosaic cannot legalize."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, M, D = 5, 300, 70
+    H = jnp.asarray(RNG.normal(size=(B, M, D)), jnp.float32)
+    r = jnp.asarray(RNG.normal(size=(B, M)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        lam, eta = jax.vmap(lambda h, rr: pk.gram_reduce_pallas(h, rr, tile_m=128))(H, r)
+    np.testing.assert_allclose(np.asarray(lam), np.einsum("bmi,bmj->bij", H, H),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(eta), np.einsum("bmi,bm->bi", H, r),
+                               rtol=2e-5, atol=2e-4)
+
+
 def test_gram_reduce_fallback_cpu():
     H = jnp.asarray(RNG.normal(size=(64, 24)))
     r = jnp.asarray(RNG.normal(size=(64,)))
