@@ -70,25 +70,42 @@ def _scharr_gradients(img):
     return gx, gy
 
 
-def _bilinear_patch(img, center_xy, offsets):
-    """Sample a patch at fractional center (x, y) + integer offsets [P, 2]."""
-    x = center_xy[0] + offsets[:, 0]
-    y = center_xy[1] + offsets[:, 1]
+def _pad_edge(img, w: int):
+    """Edge-replicate pad by w+1 so any patch slice below stays in bounds."""
+    p = w + 1
+    return jnp.pad(img, ((p, p), (p, p)), mode="edge")
+
+
+def _bilinear_patch(padded, center_xy, w: int):
+    """[2w+1, 2w+1] bilinear patch at fractional center from a _pad_edge image.
+
+    One contiguous dynamic_slice of the (2w+2)² support + 4 shifted blends,
+    instead of per-pixel 4-point gathers: a vmapped dynamic_slice lowers to a
+    single windowed gather (contiguous rows), which is the difference between
+    memory-bound and latency-bound on both CPU and the TPU vector unit. The
+    bilinear weights are constant across the patch because the offsets are
+    integers, so the blend is 4 vector FMAs.
+    """
+    x, y = center_xy[0], center_xy[1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    H, W = img.shape
-    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
-    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    i00 = img[yi, xi]
-    i01 = img[yi, xi + 1]
-    i10 = img[yi + 1, xi]
-    i11 = img[yi + 1, xi + 1]
-    return (
-        i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy)
-        + i10 * (1 - fx) * fy + i11 * fx * fy
-    )
+    fx = (x - x0).astype(padded.dtype)
+    fy = (y - y0).astype(padded.dtype)
+    Hp, Wp = padded.shape
+    sz = 2 * w + 2
+    # Original pixel (r, c) lives at padded[r + w + 1, c + w + 1]; the patch
+    # support starts at original (y0 - w, x0 - w) → padded (y0 + 1, x0 + 1).
+    # The clip replicates the edge for centers up to 1 px outside the image
+    # (beyond that the patch saturates at the border block — such tracks are
+    # dead on arrival at the in_bounds/fb gates anyway).
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, Wp - sz)
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hp - sz)
+    raw = jax.lax.dynamic_slice(padded, (yi, xi), (sz, sz))
+    a = raw[:-1, :-1]
+    b = raw[:-1, 1:]
+    c = raw[1:, :-1]
+    d = raw[1:, 1:]
+    return a * (1 - fx) * (1 - fy) + b * fx * (1 - fy) + c * (1 - fx) * fy + d * fx * fy
 
 
 def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
@@ -108,26 +125,23 @@ def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
       one flat level into an unrecoverable forward-backward failure.
     """
     w = opts.window
-    r = jnp.arange(-w, w + 1, dtype=img0.dtype)
-    oy, ox = jnp.meshgrid(r, r, indexing="ij")
-    offsets = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # [P, 2]
 
-    t_patch = _bilinear_patch(img0, pt0, offsets)
-    gx_p = _bilinear_patch(gx0, pt0, offsets)
-    gy_p = _bilinear_patch(gy0, pt0, offsets)
+    t_patch = _bilinear_patch(img0, pt0, w)
+    gx_p = _bilinear_patch(gx0, pt0, w)
+    gy_p = _bilinear_patch(gy0, pt0, w)
     gxx = jnp.sum(gx_p * gx_p)
     gxy = jnp.sum(gx_p * gy_p)
     gyy = jnp.sum(gy_p * gy_p)
     det = gxx * gyy - gxy * gxy
     min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2))
-    n_px = offsets.shape[0]
+    n_px = (2 * w + 1) ** 2
     ok = min_eig / n_px > opts.min_eig
     det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
     max_step = jnp.asarray(float(2 * w + 1), pt0.dtype)
 
     def body(carry, _):
         flow, active = carry
-        cur = _bilinear_patch(img1, pt0 + flow, offsets)
+        cur = _bilinear_patch(img1, pt0 + flow, w)
         di = cur - t_patch
         bx = jnp.sum(di * gx_p)
         by = jnp.sum(di * gy_p)
@@ -139,7 +153,7 @@ def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
         return (jnp.where(upd, flow - delta, flow), upd), None
 
     (flow, _), _ = jax.lax.scan(body, (guess, ok), None, length=opts.iters)
-    final = _bilinear_patch(img1, pt0 + flow, offsets)
+    final = _bilinear_patch(img1, pt0 + flow, w)
     err = jnp.mean(jnp.abs(final - t_patch))
     return flow, ok, err
 
@@ -161,8 +175,14 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     the vmapped per-feature LK iterations.
     """
     levels = len(pyr0)
-    grads0 = [_scharr_gradients(img) for img in pyr0]
-    grads1 = [_scharr_gradients(img) for img in pyr1]
+    w = opts.window
+    # Gradients on the raw images, then everything edge-padded once per level
+    # so the per-feature patch sampler is a pure dynamic_slice (no clipping
+    # logic in the inner LK loop).
+    grads0 = [tuple(_pad_edge(g, w) for g in _scharr_gradients(img)) for img in pyr0]
+    grads1 = [tuple(_pad_edge(g, w) for g in _scharr_gradients(img)) for img in pyr1]
+    pyr0p = [_pad_edge(img, w) for img in pyr0]
+    pyr1p = [_pad_edge(img, w) for img in pyr1]
     if init_flow is None:
         init_flow = jnp.zeros_like(pts0)
 
@@ -184,8 +204,8 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
 
         return jax.vmap(one)(pts_from, flow0)
 
-    p1, ok_f, err_f = run(pyr0, grads0, pyr1, pts0, mask, init_flow)
-    p_back, ok_b, _ = run(pyr1, grads1, pyr0, p1, mask, -init_flow)
+    p1, ok_f, err_f = run(pyr0p, grads0, pyr1p, pts0, mask, init_flow)
+    p_back, ok_b, _ = run(pyr1p, grads1, pyr0p, p1, mask, -init_flow)
     fb = jnp.linalg.norm(p_back - pts0, axis=1)
     H, W = pyr0[0].shape
     in_bounds = (p1[:, 0] >= 1) & (p1[:, 0] < W - 1) & (p1[:, 1] >= 1) & (p1[:, 1] < H - 1)

@@ -172,6 +172,18 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         passed = chi2 <= opts.const_init_chi2 * table[jnp.clip(dof, 1, table.shape[0] - 1)]
         diag_ok = jnp.all(jnp.abs(jnp.diag(HL_i)) > 1e-8)
         do_init = valid & passed & diag_ok
+        # Trace-time-gated gate diagnostics (zero cost when the env is unset):
+        # prints every candidate's per-gate outcome — the tool that located
+        # the cond-gate knife edge this path is sensitive to.
+        import os as _os
+
+        if _os.environ.get("OVP_DEBUG_PLANE_INIT") == "1":
+            jax.debug.print(
+                "[pinit] plane={p} nfeat={nf} tri_ok={nt} cond={c:.1f} fit_ok={fo} "
+                "valid={v} chi2={x:.1f} thr={t:.1f} passed={pa} diag_ok={dg}",
+                p=plane, nf=jnp.sum(on_plane), nt=jnp.sum(fvalid), c=cond, fo=fit_ok,
+                v=valid, x=chi2, t=opts.const_init_chi2 * table[jnp.clip(dof, 1, table.shape[0] - 1)],
+                pa=passed, dg=diag_ok)
 
         slot_col = lay.plane_base + 3 * slot
         new_cov, dx_new = ekf.initialize_invertible(

@@ -110,6 +110,13 @@ def test_vision_pipeline_with_plane_detection():
     cfg.trackplane.max_norm_avg_var = 30.0
     cfg.trackplane.max_norm_avg_max = 30.0
     cfg.msckf_options.chi2_multipler = 5.0  # vision tracks need outlier gating
+    # The plane-fit cond gate acts on raw GLOBAL coordinates, so it scales
+    # with |scene origin offset| / cluster spread — this room orbits 1-2 m
+    # from the origin and healthy wall clusters measure cond 40-260 (the
+    # reference's 50 was tuned for its table-origin scenes). Same override
+    # as run_euroc --sim-calib --use-planes.
+    cfg.state.plane_init_max_cond = 150.0
+    cfg.state.plane_msckf_max_cond = 150.0
     cfg.sim.min_feature_gen_distance = 0.7
     cfg.sim.max_feature_gen_distance = 2.0
     sim = build_sim(cfg, max_obs=64)
