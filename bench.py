@@ -119,6 +119,14 @@ def main_vision():
     cfg.msckf_options.chi2_multipler = 5.0
     cfg.sim.min_feature_gen_distance = 0.7
     cfg.sim.max_feature_gen_distance = 2.0
+    # Same protocol tuning as run_euroc --sim-calib --use-planes: the plane-fit
+    # cond gate acts on raw global coordinates and this room-scan orbits the
+    # world origin (healthy clusters measure cond 40-260), and the synthetic
+    # renderer's KLT noise is ~2 px.
+    cfg.state.plane_init_max_cond = 150.0
+    cfg.state.plane_msckf_max_cond = 150.0
+    cfg.msckf_options.sigma_pix = 2.0
+    cfg.slam_options.sigma_pix = 2.0
 
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
