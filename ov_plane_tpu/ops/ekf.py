@@ -230,19 +230,51 @@ def inv3(A: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 @jax.jit
+def _householder_qt(A: jnp.ndarray, X: jnp.ndarray):
+    """Triangularize A [M, c] (c small, static) with c Householder reflectors,
+    applying the same Qᵀ to X [M, R]. Returns (QᵀA upper-triangular in its top
+    c rows, QᵀX).
+
+    Statically unrolled over the c columns: each step is two matvecs and two
+    rank-1 updates — batched dense ops under vmap, instead of
+    `jnp.linalg.qr(mode="complete")`'s per-matrix loop forming an [M, M] Q
+    (the TPU-hostile path: thousands of tiny sequential QRs per filter step).
+    Zero (masked) rows stay exactly zero; an all-zero column applies no
+    reflection. Norms are where-guarded so the jvp at 0 stays finite (same
+    hygiene as ops/quat).
+    """
+    c = A.shape[1]
+    dtype = A.dtype
+    rows = jnp.arange(A.shape[0])
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype)
+    for j in range(c):
+        col = jnp.where(rows >= j, A[:, j], 0)
+        s2 = jnp.sum(col * col)
+        nrm = jnp.sqrt(jnp.where(s2 > tiny, s2, 1))
+        sign = jnp.where(col[j] >= 0, 1, -1).astype(dtype)
+        # v = col + sign·‖col‖·e_j (additive form avoids cancellation).
+        v = col.at[j].add(sign * nrm)
+        v2 = jnp.sum(v * v)
+        scale = jnp.where(s2 > tiny, 2.0 / jnp.where(v2 > tiny, v2, 1), 0)
+        A = A - scale * jnp.outer(v, v @ A)
+        X = X - scale * jnp.outer(v, v @ X)
+    return A, X
+
+
 def nullspace_project(H_f: jnp.ndarray, H_x: jnp.ndarray, res: jnp.ndarray):
     """Left-nullspace projection of H_f applied to (H_x, res)
     (UpdaterHelper::nullspace_project_inplace, UpdaterHelper.cpp:515-546 — a
-    Givens chain there; one Householder QR here).
+    Givens chain there; c Householder reflectors here).
 
     H_f: [M, c]. Returns (H_x'[M-c, Dx], res'[M-c]) — rows beyond the real
     rank are zero and harmless. Masked rows must be zero in all three inputs.
+    The returned rows are one valid orthonormal-basis representation of the
+    projected system; every consumer (gram, chi2, EKF update) is invariant to
+    the basis choice.
     """
     c = H_f.shape[1]
-    q_full, _ = jnp.linalg.qr(H_f, mode="complete")    # [M, M]
-    H_x2 = q_full.T @ H_x
-    res2 = q_full.T @ res
-    return H_x2[c:], res2[c:]
+    _, Xt = _householder_qt(H_f, jnp.concatenate([H_x, res[:, None]], axis=1))
+    return Xt[c:, :-1], Xt[c:, -1]
 
 
 @functools.partial(jax.jit, static_argnames=("out_rows",))
@@ -270,10 +302,9 @@ def qr_init_split(H_L: jnp.ndarray, H_R: jnp.ndarray, res: jnp.ndarray):
     (H_L_init[c, c], H_R_init[c, D], res_init[c], H_R_up[M-c, D], res_up[M-c]).
     """
     c = H_L.shape[1]
-    q_full, r_full = jnp.linalg.qr(H_L, mode="complete")
-    H_R2 = q_full.T @ H_R
-    res2 = q_full.T @ res
-    return r_full[:c, :c], H_R2[:c], res2[:c], H_R2[c:], res2[c:]
+    A, Xt = _householder_qt(H_L, jnp.concatenate([H_R, res[:, None]], axis=1))
+    H_R2, res2 = Xt[:, :-1], Xt[:, -1]
+    return A[:c, :c], H_R2[:c], res2[:c], H_R2[c:], res2[c:]
 
 
 @jax.jit
