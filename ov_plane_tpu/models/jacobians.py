@@ -44,6 +44,13 @@ class JacobianOptions(NamedTuple):
     do_fej: bool = True
     do_calib_camera_pose: bool = False
     do_calib_camera_intrinsics: bool = False
+    # Landmark representation of the feature error state
+    # (UpdaterHelper::get_feature_jacobian_representation, UpdaterHelper.cpp:35-193).
+    # GLOBAL_3D keeps the legacy direct path; the other 3-dof reps chain the
+    # reprojection rows through ops/representations.rep_jacobians and add the
+    # anchor-clone coupling columns. ANCHORED_INVERSE_DEPTH_SINGLE (1-dof) is
+    # not supported in the fixed 3-column H_f layout.
+    rep: int = 0  # representations.GLOBAL_3D
 
 
 class CloneSet(NamedTuple):
@@ -93,9 +100,19 @@ def feature_jacobian_full(
     plane_slot: jnp.ndarray,      # int32 plane state slot index (0..P-1)
     sigma_px,
     sigma_c,
+    anchor_slot: jnp.ndarray | int = 0,  # clone slot anchoring ANCHORED_* reps
 ):
     """Build one feature's stacked whitened system. Returns
-    (H_x[3K, D], H_f[3K, 6], res[3K], row_mask[3K])."""
+    (H_x[3K, D], H_f[3K, 6], res[3K], row_mask[3K]).
+
+    With ``opts.rep != GLOBAL_3D`` the feature columns H_f[:, 0:3] are the
+    representation's error state (chained through rep_jacobians) and, for
+    anchored reps, the anchor clone at ``anchor_slot`` receives the coupling
+    columns d z/d(anchor pose) — UpdaterHelper.cpp:195-444's routing. Plane
+    rows require GLOBAL_3D (the reference asserts this, VioManager.cpp:823).
+    """
+    from ov_plane_tpu.ops import representations as reps
+
     K = lay.max_clones
     D = lay.dim
     dtype = uv.dtype
@@ -103,6 +120,33 @@ def feature_jacobian_full(
     white_c = 1.0 / sigma_c
 
     R_ItoC, p_IinC, zeta = clones.R_ItoC, clones.p_IinC, clones.zeta
+
+    rj = None
+    if opts.rep != reps.GLOBAL_3D:
+        anchor_slot = jnp.asarray(anchor_slot)
+        anc = reps.AnchorFrame(clones.R_GtoI[anchor_slot], clones.p_IinG[anchor_slot],
+                               R_ItoC, p_IinC)
+        anc_fej = reps.AnchorFrame(clones.R_GtoI_fej[anchor_slot],
+                                   clones.p_IinG_fej[anchor_slot], R_ItoC, p_IinC)
+        # Sanitize the linearization point for the rep transforms: a failed
+        # triangulation can put the point at the frame origin or behind the
+        # anchor camera, where inverse-depth params are NaN/Inf — and a NaN
+        # survives the downstream 0-mask (0·NaN = NaN). Clamp to a unit
+        # forward point in the anchor camera; such rows are masked anyway.
+        def _safe_global(p_G, frame):
+            p_A = frame.point_to_anchor(p_G)
+            ok = jnp.isfinite(p_A).all() & (p_A[2] > 1e-3) & (jnp.linalg.norm(p_A) > 1e-3)
+            p_A = jnp.where(ok, p_A, jnp.asarray([0.0, 0.0, 1.0], dtype))
+            return frame.point_to_global(p_A)
+
+        p_FinG = _safe_global(p_FinG, anc)
+        p_FinG_fej = _safe_global(p_FinG_fej, anc_fej if opts.do_fej else anc)
+        rj = reps.rep_jacobians(opts.rep, p_FinG, p_FinG_fej, anc, anc_fej,
+                                fej=opts.do_fej,
+                                calib_extrinsic=opts.do_calib_camera_pose)
+        # FEJ overwrite (UpdaterHelper.cpp:376-385): linearize the projection
+        # at the representation's re-anchored FEJ point.
+        p_FinG_fej = rj.p_FinG
 
     # ---------------- reprojection block (vectorized over clones) ----------
     def per_clone(R_GtoIi, p_IiinG, R_fej, p_fej, uv_m, m):
@@ -140,19 +184,35 @@ def feature_jacobian_full(
         clones.R_GtoI, clones.p_IinG, clones.R_GtoI_fej, clones.p_IinG_fej, uv, obs_mask
     )  # r2 [K,2], Hc [K,2,6], Hf2 [K,2,3], Hcal [K,2,6], Hz [K,2,8]
 
+    # Representation chain rule: Hf2 is d z/d p_FinG; the feature error state
+    # is d params, and anchored reps couple into the anchor clone + extrinsic.
+    Hf_out = Hf2
+    if rj is not None:
+        Hf_out = Hf2 @ rj.H_f                               # [K, 2, 3]
+        if reps.is_anchored(opts.rep):
+            Ha_rows = (Hf2 @ rj.H_anchor).reshape(2 * K, 6)  # d z/d anchor pose
+            if opts.do_calib_camera_pose:
+                Hcal = Hcal + Hf2 @ rj.H_calib
+
     # Assemble reprojection rows into full-width H_x.
     H_x = jnp.zeros((3 * K, D), dtype)
     # Clone block-diagonal: [K,2,6] -> [2K, 6K].
     eyeK = jnp.eye(K, dtype=dtype)
     Hc_bd = jnp.einsum("kab,kl->kalb", Hc, eyeK).reshape(2 * K, 6 * K)
     H_x = H_x.at[: 2 * K, lay.clone_base : lay.clone_base + 6 * K].set(Hc_bd)
+    if rj is not None and reps.is_anchored(opts.rep):
+        # Scatter-add the anchor coupling at the anchor clone's columns.
+        col = jnp.asarray(lay.clone_base + 6 * anchor_slot)
+        z = jnp.zeros((), col.dtype)
+        cur = jax.lax.dynamic_slice(H_x, (z, col), (2 * K, 6))
+        H_x = jax.lax.dynamic_update_slice(H_x, cur + Ha_rows, (z, col))
     if opts.do_calib_camera_pose:
         H_x = H_x.at[: 2 * K, lay.cam_pose_idx : lay.cam_pose_idx + 6].set(Hcal.reshape(2 * K, 6))
     if opts.do_calib_camera_intrinsics:
         H_x = H_x.at[: 2 * K, lay.cam_intr_idx : lay.cam_intr_idx + 8].set(Hz.reshape(2 * K, 8))
 
     H_f = jnp.zeros((3 * K, 6), dtype)
-    H_f = H_f.at[: 2 * K, 0:3].set(Hf2.reshape(2 * K, 3))
+    H_f = H_f.at[: 2 * K, 0:3].set(Hf_out.reshape(2 * K, 3))
     res = jnp.zeros((3 * K,), dtype).at[: 2 * K].set(r2.reshape(2 * K))
     row_mask = jnp.zeros((3 * K,), bool).at[: 2 * K].set(jnp.repeat(obs_mask, 2))
 

@@ -140,11 +140,20 @@ class VioEngine:
             raise ValueError(
                 "feat_rep_slam must be GLOBAL_3D when plane constraints are on "
                 "(reference asserts this, VioManager.cpp:823)")
-        if rep_msckf != reps.GLOBAL_3D or rep_slam != reps.GLOBAL_3D:
+        if rep_msckf == reps.ANCHORED_INVERSE_DEPTH_SINGLE:
             raise NotImplementedError(
-                "estimator state currently runs GLOBAL_3D (as every reference "
-                "config does); other representations are available at the op "
-                "level in ov_plane_tpu.ops.representations")
+                "ANCHORED_INVERSE_DEPTH_SINGLE is 1-dof and does not fit the "
+                "fixed 3-column marginalization layout; use a 3-dof rep")
+        if rep_msckf != reps.GLOBAL_3D and cfg.state.use_plane_constraint:
+            raise ValueError(
+                "feat_rep_msckf must be GLOBAL_3D when plane constraints are "
+                "on (reference asserts this, VioManager.cpp:823,839)")
+        if rep_slam != reps.GLOBAL_3D:
+            raise NotImplementedError(
+                "in-state SLAM landmarks run GLOBAL_3D (as every reference "
+                "config does; anchored SLAM states need per-slot anchor "
+                "bookkeeping + anchor changes). MSCKF features support all "
+                "3-dof representations via feat_rep_msckf.")
 
         lay = StateLayout(
             max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
@@ -165,7 +174,7 @@ class VioEngine:
             max_runs=cfg.featinit.max_runs,
         )
         mo = MsckfOptions(
-            jac=jac, tri=tri,
+            jac=jac._replace(rep=rep_msckf), tri=tri,
             sigma_px=cfg.msckf_options.sigma_pix,
             chi2_multipler=cfg.msckf_options.chi2_multipler,
             sigma_c=cfg.state.sigma_constraint,

@@ -87,16 +87,22 @@ def msckf_update(
 
     # Stacked Jacobians per feature; FEJ feature value = triangulated value
     # (UpdaterMSCKF sets p_FinG_fej = p_FinG for fresh triangulations).
-    def jac_one(uv, mask, pf, cp, cp_fej, has_plane, in_state, pslot):
+    # Anchored representations anchor at the newest observing clone (ov_core
+    # sets anchor_clone_timestamp to the feature's last observation).
+    slot_t = jnp.where(sel_mask, state.clones_t[None, :], -jnp.inf)
+    anchor_slot = jnp.argmax(slot_t, axis=1).astype(jnp.int32)          # [M]
+
+    def jac_one(uv, mask, pf, cp, cp_fej, has_plane, in_state, pslot, aslot):
         return feature_jacobian_full(
             lay, opts.jac, clones, uv, mask, pf, pf, cp, cp_fej,
             has_plane, in_state, pslot, opts.sigma_px, opts.sigma_c,
+            anchor_slot=aslot,
         )
 
     use_plane = sel_has_plane & jnp.asarray(opts.use_plane_constraint)
     H_x, H_f, res, rmask = jax.vmap(jac_one)(
         sel_uv, sel_mask, p_f, sel_plane_cp, sel_plane_cp_fej,
-        use_plane, sel_plane_in_state, sel_plane_slot,
+        use_plane, sel_plane_in_state, sel_plane_slot, anchor_slot,
     )  # H_x [M, 3K, D], H_f [M, 3K, 6], res [M, 3K], rmask [M, 3K]
 
     # Zero out everything for features that failed triangulation.

@@ -167,8 +167,93 @@ def test_engine_validates_feat_rep():
     with pytest.raises(ValueError):
         VioEngine.from_config(cfg)
 
+    # MSCKF features support every 3-dof representation (planes off).
     cfg = sim_config()
     cfg.state.use_plane_constraint = False
+    cfg.state.use_plane_slam_feats = False
     cfg.state.feat_rep_msckf = "ANCHORED_MSCKF_INVERSE_DEPTH"
+    eng = VioEngine.from_config(cfg)
+    assert eng.msckf_opts.jac.rep == reps.ANCHORED_MSCKF_INVERSE_DEPTH
+    # ... but not with plane constraints on (reference invariant) ...
+    cfg.state.use_plane_constraint = True
+    cfg.state.use_plane_slam_feats = True
+    with pytest.raises(ValueError):
+        VioEngine.from_config(cfg)
+    # ... and the 1-dof single-depth rep does not fit the 3-column layout.
+    cfg = sim_config()
+    cfg.state.use_plane_constraint = False
+    cfg.state.use_plane_slam_feats = False
+    cfg.state.feat_rep_msckf = "ANCHORED_INVERSE_DEPTH_SINGLE"
     with pytest.raises(NotImplementedError):
         VioEngine.from_config(cfg)
+
+
+@pytest.mark.parametrize("rep_name", [
+    "GLOBAL_FULL_INVERSE_DEPTH", "ANCHORED_3D",
+    "ANCHORED_FULL_INVERSE_DEPTH", "ANCHORED_MSCKF_INVERSE_DEPTH",
+])
+def test_msckf_update_under_each_representation(rep_name):
+    """The full MSCKF update under every 3-dof representation must accept the
+    same consistent scene and produce (nearly) the GLOBAL_3D correction: the
+    parameterizations linearize the same geometry, so on a well-conditioned
+    scene the corrections differ only at linearization-error order
+    (UpdaterHelper.cpp:35-193 routing, here via rep_jacobians chain rule)."""
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.models.jacobians import JacobianOptions
+    from ov_plane_tpu.models.msckf import MsckfOptions, msckf_update
+    from ov_plane_tpu.state.layout import StateLayout
+    from ov_plane_tpu.state.vio_state import VioState
+
+    lay = StateLayout(max_clones=6, max_slam=0, max_planes=0)
+    zeta = np.array([300.0, 300.0, 320.0, 240.0, 0, 0, 0, 0])
+    rng = np.random.default_rng(3)
+    K = lay.max_clones
+    M, NF = 6, 4
+
+    cp_xy = np.array([[0.0, 0.0], [0.25, 0.05], [0.5, 0.2], [0.75, 0.05], [1.0, 0.3]])
+    clones_p = np.zeros((K, 3))
+    clones_p[:5, 0:2] = cp_xy
+    clones_t = np.full(K, -np.inf)
+    clones_t[:5] = np.arange(5.0)
+    state = VioState.create(lay).replace(
+        clones_p=jnp.asarray(clones_p), clones_p_fej=jnp.asarray(clones_p),
+        clones_t=jnp.asarray(clones_t), cam_zeta=jnp.asarray(zeta),
+        cov=jnp.asarray(np.eye(lay.dim) * 1e-4), t=jnp.asarray(4.0),
+    )
+    p_f = np.stack([rng.uniform(-0.4, 1.2, NF), rng.uniform(-0.5, 0.7, NF),
+                    rng.uniform(1.6, 2.6, NF)], axis=1)
+    uv = np.zeros((M, K, 2))
+    uvn = np.zeros((M, K, 2))
+    mask = np.zeros((M, K), bool)
+    for f in range(NF):
+        for k in range(5):
+            d = p_f[f] - clones_p[k]
+            n = d[0:2] / d[2] + rng.normal(0, 0.3 / 300.0, 2)
+            uvn[f, k] = n
+            uv[f, k] = n * zeta[0:2] + zeta[2:4]
+            mask[f, k] = True
+
+    zeros3 = jnp.zeros((M, 3))
+    args = (jnp.asarray(uv), jnp.asarray(uvn), jnp.asarray(mask), zeros3, zeros3,
+            jnp.zeros(M, bool), jnp.zeros(M, bool), jnp.zeros(M, jnp.int32))
+
+    def run(rep):
+        opts = MsckfOptions(jac=JacobianOptions(rep=rep))
+        new_state, used, _, tri_ok = msckf_update(state, opts, *args)
+        return new_state, used, tri_ok
+
+    base, used0, ok0 = run(reps.GLOBAL_3D)
+    assert np.asarray(used0)[:NF].all()
+    dx_base = np.asarray(base.imu[4:7] - state.imu[4:7])
+
+    new_state, used, tri_ok = run(reps.from_name(rep_name))
+    assert np.asarray(tri_ok)[:NF].all()
+    assert np.asarray(used)[:NF].all(), rep_name
+    assert np.isfinite(np.asarray(new_state.cov)).all()
+    d = np.diag(np.asarray(new_state.cov))
+    assert (d >= -1e-10).all()
+    # Covariance contracts and the correction matches GLOBAL_3D closely.
+    assert float(jnp.trace(new_state.cov)) < float(jnp.trace(state.cov))
+    dx = np.asarray(new_state.imu[4:7] - state.imu[4:7])
+    np.testing.assert_allclose(dx, dx_base, atol=2e-4)
