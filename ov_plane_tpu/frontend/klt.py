@@ -158,11 +158,36 @@ def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
     return flow, ok, err
 
 
+class PreparedPyramid(NamedTuple):
+    """Edge-padded pyramid + Scharr gradients, computed once per frame.
+
+    A frame's preparation is reused as the template side of the NEXT frame's
+    track call (the pipeline caches it), halving the per-frame convolution
+    and padding work versus re-deriving both sides inside track().
+    """
+
+    imgs: tuple    # raw per-level images (level 0 = full res)
+    padded: tuple  # edge-padded per-level images
+    grads: tuple   # per-level (gx_padded, gy_padded)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def prepare_pyramid(pyr, window: int) -> PreparedPyramid:
+    """Pad + differentiate a pyramid for track(): pure convolutions, so the
+    per-feature patch sampler stays a bare dynamic_slice."""
+    pyr = tuple(pyr)
+    padded = tuple(_pad_edge(img, window) for img in pyr)
+    grads = tuple(tuple(_pad_edge(g, window) for g in _scharr_gradients(img))
+                  for img in pyr)
+    return PreparedPyramid(pyr, padded, grads)
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
 def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     """Track points pts0 [N, 2] (x, y pixels) from pyramid 0 to pyramid 1.
 
-    pyr0/pyr1: tuples of per-level images (level 0 = full res).
+    pyr0/pyr1: PreparedPyramid (preferred — cache the previous frame's), or
+    plain tuples of per-level images (prepared internally).
     Returns (pts1 [N, 2], ok [N]) with forward-backward validation.
 
     init_flow [N, 2]: optional per-feature flow prediction (e.g. the
@@ -170,19 +195,13 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     window at each pyramid level; when inter-frame motion exceeds it AND the
     scene texture is too fine to survive coarse pyramid levels, a prior is
     the difference between tracking and sliding onto lookalike texture.
-
-    Per-level image gradients are computed once (convolutions) and shared by
-    the vmapped per-feature LK iterations.
     """
-    levels = len(pyr0)
     w = opts.window
-    # Gradients on the raw images, then everything edge-padded once per level
-    # so the per-feature patch sampler is a pure dynamic_slice (no clipping
-    # logic in the inner LK loop).
-    grads0 = [tuple(_pad_edge(g, w) for g in _scharr_gradients(img)) for img in pyr0]
-    grads1 = [tuple(_pad_edge(g, w) for g in _scharr_gradients(img)) for img in pyr1]
-    pyr0p = [_pad_edge(img, w) for img in pyr0]
-    pyr1p = [_pad_edge(img, w) for img in pyr1]
+    prep0 = pyr0 if isinstance(pyr0, PreparedPyramid) else prepare_pyramid(pyr0, w)
+    prep1 = pyr1 if isinstance(pyr1, PreparedPyramid) else prepare_pyramid(pyr1, w)
+    levels = len(prep0.imgs)
+    grads0, grads1 = prep0.grads, prep1.grads
+    pyr0p, pyr1p = prep0.padded, prep1.padded
     if init_flow is None:
         init_flow = jnp.zeros_like(pts0)
 
@@ -207,7 +226,7 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     p1, ok_f, err_f = run(pyr0p, grads0, pyr1p, pts0, mask, init_flow)
     p_back, ok_b, _ = run(pyr1p, grads1, pyr0p, p1, mask, -init_flow)
     fb = jnp.linalg.norm(p_back - pts0, axis=1)
-    H, W = pyr0[0].shape
+    H, W = prep0.imgs[0].shape
     in_bounds = (p1[:, 0] >= 1) & (p1[:, 0] < W - 1) & (p1[:, 1] >= 1) & (p1[:, 1] < H - 1)
     ok = mask & ok_f & ok_b & (fb < opts.fb_thresh) & (err_f < opts.max_err) & in_bounds
     return p1, ok

@@ -161,7 +161,8 @@ class VisionPipeline:
         method = {"NONE": ip.NONE, "HISTOGRAM": ip.HISTOGRAM, "CLAHE": ip.CLAHE}.get(
             cfg.histogram_method.upper(), ip.NONE)
         img_j = ip.preprocess(jnp.asarray(img, jnp.float32), method)
-        pyr = tuple(fklt.build_pyramid(img_j, self.klt_opts.levels))
+        pyr = fklt.prepare_pyramid(tuple(fklt.build_pyramid(img_j, self.klt_opts.levels)),
+                                   self.klt_opts.window)
         fe = self.fe
 
         # 0. Gyro-integrated inter-frame rotation (shared by the LK prior and
@@ -301,7 +302,7 @@ class VisionPipeline:
         if n_needed > 0:
             occupied = jnp.asarray(fe.uv, jnp.float32)
             occ_mask = jnp.asarray(fe.valid)
-            new_uv, new_ok = ffast.detect_grid(pyr[0], occupied, occ_mask, self.fast_opts, h, w)
+            new_uv, new_ok = ffast.detect_grid(pyr.imgs[0], occupied, occ_mask, self.fast_opts, h, w)
             new_uv = np.asarray(new_uv)[np.asarray(new_ok)][:n_needed]
             free = np.nonzero(~fe.valid)[0][: len(new_uv)]
             new_ids = np.arange(fe.next_id, fe.next_id + len(free))
