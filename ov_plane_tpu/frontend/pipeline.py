@@ -102,7 +102,11 @@ def solve_track_triangulations(fe: "FrontendState", tp, R_GtoC, p_CinG) -> dict:
     array so diagnostics (scripts/diag_frontend_gates.py) read the same math
     the pipeline uses."""
     enough = fe.valid & (fe.tri_n >= tp.feat_init_min_obs)
-    A = fe.tri_A + np.where(enough, 0.0, 1.0)[:, None, None] * np.eye(3)
+    # Ridge: zero-baseline tracks leave the projector sum rank-2 (exactly
+    # singular — np.linalg.solve raises); the gates below reject the
+    # nonsense solution, the ridge only keeps the batched solve defined.
+    ridge = 1e-6 * (np.einsum("nii->n", fe.tri_A) + 1.0)
+    A = fe.tri_A + (np.where(enough, 0.0, 1.0) + ridge)[:, None, None] * np.eye(3)
     with np.errstate(all="ignore"):
         p3 = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
         sv = np.linalg.svd(fe.tri_A, compute_uv=False)
@@ -251,7 +255,13 @@ class VisionPipeline:
                 b_np = np.concatenate(
                     [np.asarray(uvn_prev, np.float64), np.ones((fe.cap, 1))], axis=1)
                 has_tri = fe.valid & (fe.tri_n >= 2)
-                A = fe.tri_A + np.where(has_tri, 0.0, 1.0)[:, None, None] * np.eye(3)
+                # Ridge on every system: with zero baseline (stationary
+                # platform) the accumulated projectors are rank-2 even at
+                # tri_n >= 2 and np.linalg.solve RAISES on exact singularity.
+                # The ridge keeps the solve defined; the garbage depth it
+                # yields fails the min/max-dist gate below.
+                ridge = 1e-6 * (np.einsum("nii->n", fe.tri_A) + 1.0)
+                A = fe.tri_A + (np.where(has_tri, 0.0, 1.0) + ridge)[:, None, None] * np.eye(3)
                 with np.errstate(all="ignore"):
                     p3r = np.linalg.solve(A, fe.tri_b[..., None])[..., 0]
                 z = (p3r - p_C_prev) @ R_GtoC_prev[2]

@@ -108,7 +108,13 @@ def _save_viz_images(out_dir, frame_no, img, fe):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True, help="sequence dir containing mav0/")
+    ap.add_argument("--data", default="", help="sequence dir containing mav0/")
+    ap.add_argument("--bag", default="", help="replay directly from a ROS1 .bag "
+                    "(ros1_serial_msckf.cpp:132-190 semantics; no conversion step)")
+    ap.add_argument("--imu-topic", default="/imu0")
+    ap.add_argument("--cam-topic", default="/cam0/image_raw")
+    ap.add_argument("--gt", default="", help="optional ASL gt csv (for --bag replays "
+                    "whose gt ships outside the bag, e.g. AR-Table)")
     ap.add_argument("--config", default=None, help="estimator_config.yaml (reference format)")
     ap.add_argument("--out", default="/tmp/ovp_euroc_traj.txt")
     ap.add_argument("--timing", default="/tmp/ovp_euroc_timing.csv")
@@ -206,18 +212,40 @@ def main():
     printer.set_print_level(args.verbosity or cfg.verbosity)
     printer.print_config(cfg)
 
-    mav0 = os.path.join(args.data, "mav0")
-    imu = np.loadtxt(os.path.join(mav0, "imu0", "data.csv"), delimiter=",", comments="#")
-    imu_t = imu[:, 0] * 1e-9
-    imu_w = imu[:, 1:4]
-    imu_a = imu[:, 4:7]
-    cam_csv = np.genfromtxt(os.path.join(mav0, "cam0", "data.csv"), delimiter=",",
-                            comments="#", dtype=str)
-    cam_t = cam_csv[:, 0].astype(np.float64) * 1e-9
-    cam_files = [os.path.join(mav0, "cam0", "data", f.strip()) for f in cam_csv[:, 1]]
+    if args.bag:
+        # Direct bag replay (the reference's serial driver indexes the bag and
+        # drains messages in stamp order, ros1_serial_msckf.cpp:132-280; the
+        # pure-python reader does the same indexing + stamp sort).
+        from ov_plane_tpu.eval.rosbag import read_bag
 
-    gt_path = os.path.join(mav0, "state_groundtruth_estimate0", "data.csv")
-    have_gt = os.path.exists(gt_path)
+        imu_t, imu_w, imu_a, cam_t, bag_imgs = read_bag(
+            args.bag, args.imu_topic, args.cam_topic)
+        bag_imgs = [np.asarray(im, np.float32) / 255.0 if im.dtype == np.uint8
+                    else np.asarray(im, np.float32) for im in bag_imgs]
+
+        def get_frame(i):
+            return bag_imgs[i]
+
+        gt_path = args.gt
+        have_gt = bool(args.gt) and os.path.exists(args.gt)
+    else:
+        if not args.data:
+            ap.error("one of --data or --bag is required")
+        mav0 = os.path.join(args.data, "mav0")
+        imu = np.loadtxt(os.path.join(mav0, "imu0", "data.csv"), delimiter=",", comments="#")
+        imu_t = imu[:, 0] * 1e-9
+        imu_w = imu[:, 1:4]
+        imu_a = imu[:, 4:7]
+        cam_csv = np.genfromtxt(os.path.join(mav0, "cam0", "data.csv"), delimiter=",",
+                                comments="#", dtype=str)
+        cam_t = cam_csv[:, 0].astype(np.float64) * 1e-9
+        cam_files = [os.path.join(mav0, "cam0", "data", f.strip()) for f in cam_csv[:, 1]]
+
+        def get_frame(i):
+            return load_image(cam_files[i])
+
+        gt_path = args.gt or os.path.join(mav0, "state_groundtruth_estimate0", "data.csv")
+        have_gt = os.path.exists(gt_path)
 
     eng = VioEngine.from_config(cfg)
     pipe = VisionPipeline(cfg, eng)
@@ -277,7 +305,7 @@ def main():
         zeta = jnp.asarray(cfg.cam_intrinsics)
         R_ItoC = _q2r(jnp.asarray(cfg.cam_extrinsics[0:4]))
         for i, t in enumerate(cam_t):
-            img = load_image(cam_files[i])
+            img = get_frame(i)
             obs = pipe.process_image(img, state if state is not None else init_state_with_gt(
                 eng, cfg, t0=t, q0=jnp.asarray([0.0, 0, 0, 1]), p0=jnp.zeros(3), v0=jnp.zeros(3),
                 bg0=jnp.zeros(3), ba0=jnp.zeros(3)), bank)
@@ -391,7 +419,7 @@ def main():
     # disk/JPEG work overlaps the filter step (SURVEY §2.4 item 4; the
     # reference's camera-queue + update-thread analogue).
     frame_idxs = range(start_idx, len(cam_t), args.downsample)
-    frames_it = Prefetcher(frame_idxs, stage=lambda i: (i, load_image(cam_files[i])),
+    frames_it = Prefetcher(frame_idxs, stage=lambda i: (i, get_frame(i)),
                            depth=2)
     odom_rows = []  # (t, imu16) at IMU rate between updates
     if args.odom_out:

@@ -79,3 +79,40 @@ def test_bag_to_asl_converter(tmp_path):
     assert len(cam_rows) - 1 == len(img_t)
     first = cam_rows[1].split(",")[1]
     assert os.path.exists(os.path.join(base, "cam0", "data", first))
+
+
+def test_run_euroc_direct_bag_replay(tmp_path):
+    """run_euroc --bag replays a bag with no conversion step: static-init
+    from the stationary IMU stream, then the full vision+filter loop on the
+    decoded frames (ros1_serial_msckf.cpp:196-280 semantics)."""
+    rng = np.random.default_rng(11)
+    msgs = []
+    imu_t = np.arange(0.0, 4.1, 1.0 / 200.0)
+    for t in imu_t:
+        a = np.array([0.0, 0.0, 9.81])
+        if 2.0 <= t < 3.0:
+            # Excitation burst: static init needs an excited recent window
+            # over a still older window (ov_init StaticInitializer gates).
+            a = a + rng.normal(0, 2.0, 3)
+        msgs.append(("/imu0", "sensor_msgs/Imu", t, serialize_imu(t, np.zeros(3), a)))
+    speckle = rng.uniform(0.1, 0.9, size=(480, 640))
+    for t in (3.0, 3.3, 3.6, 3.9):
+        msgs.append(("/cam0/image_raw", "sensor_msgs/Image", t,
+                     serialize_image(t, speckle)))
+    bagp = str(tmp_path / "replay.bag")
+    write_bag(bagp, msgs)
+
+    traj = str(tmp_path / "traj.txt")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "run_euroc.py"),
+         "--bag", bagp, "--sim-calib", "--track-cap", "40",
+         "--max-frames", "3", "--out", traj,
+         "--timing", str(tmp_path / "timing.csv"),
+         "--plane-csv", str(tmp_path / "planes.csv")],
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "static init" in r.stdout + r.stderr, r.stdout[-2000:]
+    rows = [l for l in open(traj).read().splitlines() if l and not l.startswith("#")]
+    assert len(rows) >= 1
