@@ -127,8 +127,16 @@ def main():
                 continue
             print(f"    t=[{t_cam[a]:6.1f},{t_cam[b-1]:6.1f}]s  "
                   f"ori {float(nth[a:b].mean()):5.2f}  pos {float(npos[a:b].mean()):5.2f}")
-    ok = float(jnp.mean(r_pos)) < 0.2 and 0.05 < float(jnp.mean(n_ori)) < 9.0
-    print("CONSISTENT" if ok else "INCONSISTENT")
+    # Two separate verdicts: NEES ≈ dim is the estimator-consistency check
+    # (the reference's criterion, ROS1Visualizer.cpp:846-877); absolute RMSE
+    # is an accuracy bar that naturally grows with trajectory length for any
+    # odometry, so it gets its own label instead of polluting the NEES one.
+    nees_ok = (0.05 < float(jnp.mean(n_ori)) < 9.0
+               and 0.05 < float(jnp.mean(n_pos)) < 9.0)
+    # Drift allowance: 0.2 m floor, plus 0.2 mm/s of trajectory duration.
+    rmse_ok = float(jnp.mean(r_pos)) < 0.2 + 2e-4 * float(t_cam[-1] - t_cam[0])
+    print(("NEES CONSISTENT" if nees_ok else "NEES INCONSISTENT")
+          + (" | RMSE OK" if rmse_ok else " | RMSE HIGH"))
 
 
 if __name__ == "__main__":
