@@ -129,14 +129,17 @@ def kalman_update(cov: jnp.ndarray, H: jnp.ndarray, res: jnp.ndarray, r_diag: jn
     """
     from jax.scipy.linalg import solve_triangular
 
+    from ov_plane_tpu.ops.pallas_kernels import kalman_downdate
+
     Ma = cov @ H.T                                    # P Hᵀ : [D, M]
     S = H @ Ma + jnp.diag(r_diag)                     # [M, M]
     S = 0.5 * (S + S.T)
     L = jnp.linalg.cholesky(S)                        # lower
     W = solve_triangular(L, Ma.T, lower=True)         # L⁻¹ (H P) : [M, D]
     u = solve_triangular(L, res, lower=True)          # [M]
-    new_cov = cov - W.T @ W
-    dx = W.T @ u
+    # Fused rank-M downdate + correction (one read of W) — Pallas on TPU,
+    # plain XLA elsewhere.
+    new_cov, dx = kalman_downdate(cov, W, u)
     chi2 = u @ u
     return dx, new_cov, chi2
 

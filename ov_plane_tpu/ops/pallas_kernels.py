@@ -75,16 +75,21 @@ def _gram_call_batched(Hp: jnp.ndarray, rp: jnp.ndarray, tile_m: int):
     """Raw batched pallas call on padded arrays: Hp [B, Mp, Dp], rp [B, Mp, 1]."""
     B, Mp, Dp = Hp.shape
     grid = (B, Mp // tile_m)
+    # Index maps return jnp.int32(0), not the Python literal 0: under
+    # JAX_ENABLE_X64 the literal traces as an i64 constant and the index-map
+    # function fails Mosaic legalization on the axon remote-AOT path
+    # ("func.return (i32, i32, i64)" — measured round 2).
+    zero = lambda: jnp.int32(0)
     return pl.pallas_call(
         _gram_kernel_batched,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_m, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, Dp), lambda b, i: (b, i, zero()), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 1), lambda b, i: (b, i, zero()), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Dp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dp, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, Dp), lambda b, i: (b, zero(), zero()), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, 1), lambda b, i: (b, zero(), zero()), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Dp, Dp), jnp.float32),
@@ -139,17 +144,140 @@ def gram_reduce_pallas(H: jnp.ndarray, r: jnp.ndarray, tile_m: int = 256):
     return lam[:D, :D].astype(H.dtype), eta[:D, 0].astype(H.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Rank-k covariance downdate: (P', dx) = (P − WᵀW, Wᵀu)
+# ---------------------------------------------------------------------------
+#
+# The back half of the square-root Kalman update (ops/ekf.kalman_update;
+# reference StateHelper.cpp:121-202 forms K(HP) explicitly instead): after the
+# triangular solves produce W = L⁻¹(HP) [M, D] and u = L⁻¹res [M], the
+# covariance downdate and the state correction both contract over the same W.
+# Fusing them reads W once (instead of twice) and keeps the Gram accumulator
+# in VMEM — the update chain is HBM-bound at D ≈ 100-300 (BASELINE.md
+# bottleneck analysis), so the saved pass is the lever.
+
+
+def _downdate_kernel_batched(cov_ref, w_ref, u_ref, newcov_ref, dx_ref,
+                             acc_lam, acc_eta):
+    """Grid (batch, row-tiles): accumulate WᵀW / Wᵀu, apply at the last tile."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_lam[:] = jnp.zeros_like(acc_lam)
+        acc_eta[:] = jnp.zeros_like(acc_eta)
+
+    w = w_ref[0]                                    # [TM, D]
+    u = u_ref[0]                                    # [TM, 1]
+    acc_lam[:] += jax.lax.dot_general(
+        w, w, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_eta[:] += jax.lax.dot_general(
+        w, u, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        newcov_ref[0] = cov_ref[0] - acc_lam[:]
+        dx_ref[0] = acc_eta[:]
+
+
+def _downdate_call_batched(covp: jnp.ndarray, Wp: jnp.ndarray, up: jnp.ndarray,
+                           tile_m: int):
+    """Raw batched call on padded arrays: covp [B,Dp,Dp], Wp [B,Mp,Dp], up [B,Mp,1]."""
+    B, Mp, Dp = Wp.shape
+    grid = (B, Mp // tile_m)
+    zero = lambda: jnp.int32(0)  # literal 0 traces i64 under x64 (see above)
+    return pl.pallas_call(
+        _downdate_kernel_batched,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Dp, Dp), lambda b, i: (b, zero(), zero()), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, Dp), lambda b, i: (b, i, zero()), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 1), lambda b, i: (b, i, zero()), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Dp, Dp), lambda b, i: (b, zero(), zero()), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dp, 1), lambda b, i: (b, zero(), zero()), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Dp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Dp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dp, Dp), jnp.float32),
+            pltpu.VMEM((Dp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Mp * Dp * (Dp + 1),
+            bytes_accessed=4 * B * (Mp * Dp + 2 * Dp * Dp + Mp + Dp),
+            transcendentals=0,
+        ),
+    )(covp, Wp, up)
+
+
+@functools.lru_cache(maxsize=None)
+def _downdate_core(tile_m: int):
+    """custom_vmap'd padded core (same rationale as _gram_core)."""
+
+    @jax.custom_batching.custom_vmap
+    def core(covp, Wp, up):
+        nc, dx = _downdate_call_batched(covp[None], Wp[None], up[None], tile_m)
+        return nc[0], dx[0]
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, covp, Wp, up):
+        if not in_batched[0]:
+            covp = jnp.broadcast_to(covp, (axis_size, *covp.shape))
+        if not in_batched[1]:
+            Wp = jnp.broadcast_to(Wp, (axis_size, *Wp.shape))
+        if not in_batched[2]:
+            up = jnp.broadcast_to(up, (axis_size, *up.shape))
+        nc, dx = _downdate_call_batched(covp, Wp, up, tile_m)
+        return (nc, dx), (True, True)
+
+    return core
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m",))
+def kalman_downdate_pallas(cov: jnp.ndarray, W: jnp.ndarray, u: jnp.ndarray,
+                           tile_m: int = 256):
+    """Fused (P − WᵀW, Wᵀu) on TPU via Pallas. cov [D,D], W [M,D], u [M] f32.
+
+    Zero-padded rows of W contribute nothing; the padded cov block is sliced
+    back to [D, D] so pad lanes never reach the caller.
+    """
+    M, D = W.shape
+    Dp = _round_up(D, 128)
+    Mp = _round_up(M, tile_m)
+    covp = jnp.zeros((Dp, Dp), jnp.float32).at[:D, :D].set(cov.astype(jnp.float32))
+    Wp = jnp.zeros((Mp, Dp), jnp.float32).at[:M, :D].set(W.astype(jnp.float32))
+    up = jnp.zeros((Mp, 1), jnp.float32).at[:M, 0].set(u.astype(jnp.float32))
+    nc, dx = _downdate_core(tile_m)(covp, Wp, up)
+    return nc[:D, :D].astype(cov.dtype), dx[:D, 0].astype(cov.dtype)
+
+
 import os
 
 _DISABLE_PALLAS = os.environ.get("OVP_DISABLE_PALLAS", "0") == "1"
 
 
+def kalman_downdate(cov: jnp.ndarray, W: jnp.ndarray, u: jnp.ndarray):
+    """(P − WᵀW, Wᵀu) with the fused Pallas kernel on TPU, plain XLA elsewhere."""
+    backend = jax.default_backend()
+    if _HAVE_PALLAS and not _DISABLE_PALLAS and backend in ("tpu", "axon") and cov.dtype == jnp.float32:
+        return kalman_downdate_pallas(cov, W, u)
+    return cov - W.T @ W, W.T @ u
+
+
 def gram_reduce(H: jnp.ndarray, r: jnp.ndarray):
     """(Λ, η) with the Pallas kernel on TPU, plain XLA elsewhere.
 
-    Set OVP_DISABLE_PALLAS=1 to force the XLA path — needed when a program
-    containing this op is compiled by an AOT service that cannot lower Mosaic
-    custom calls (e.g. the axon remote-compile helper).
+    Set OVP_DISABLE_PALLAS=1 to force the XLA path. (The axon remote-AOT
+    helper lowers these Mosaic calls since the index maps were pinned to
+    i32 — measured in-program on the v5e, round 2.)
     """
     backend = jax.default_backend()
     if _HAVE_PALLAS and not _DISABLE_PALLAS and backend in ("tpu", "axon") and H.dtype == jnp.float32:
