@@ -222,6 +222,12 @@ def main():
     cfg.tpu.max_obs_per_frame = 96
     cfg.tpu.max_msckf_update = 40
     cfg.tpu.use_info_compression = True  # fused Pallas gram reduction on TPU
+    # Point-only milestone (config 1): no plane states in this workload, so
+    # carry the minimum plane capacity. Together with the disabled-calib
+    # layout (no dt/pose/intr columns) the error state is D = 15 + 6*12 + 3 + 3
+    # = 93 — inside one 128-lane TPU tile (round 2 ran D=129, paying ~2x tile
+    # padding in every covariance op; BASELINE.md bottleneck analysis).
+    cfg.tpu.max_planes = 1
 
     t0 = time.time()
     cpu = jax.devices("cpu")[0]

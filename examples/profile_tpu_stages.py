@@ -174,7 +174,6 @@ def main():
         obs_id = jnp.where(obs_finite, fr.obs_id, -1)
         obs_uv = jnp.where(obs_finite[:, None], fr.obs_uv, 0.0)
         uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(obs_uv)
-        bk = fb.clear_clone_column(bk, st.newest_clone_slot)
         bk = fb.ingest(bk, obs_id, obs_uv, uvn, fr.obs_plane, st.newest_clone_slot,
                        gt_p=fr.obs_gt_p, gt_cp=fr.obs_gt_cp)
         return bk.uv

@@ -78,59 +78,66 @@ def ingest(bank: FeatureBank, ids, uv, uvn, plane, slot,
     reference's plane_check_old_feats semantics); new ids claim free slots in
     order; overflow observations are dropped. Optional per-observation ground
     truth (use_groundtruths) is stored alongside.
+
+    Subsumes ``clear_clone_column(bank, slot)``: any stale observations at the
+    recycled clone slot are dropped and obs-less non-SLAM rows freed before
+    matching, so callers need no separate clear pass.
+
+    Gather formulation (round 3): the original wrote each observation into its
+    bank row with 7 scatters over the [F, K, ...] arrays, each through a
+    concatenated dump row (a full HBM copy per array); TPU scatters also
+    serialize per update. Ingest + triage measured 46 ms of a 148 ms step at
+    batch 64 (BASELINE.md round-2 per-stage table). Instead compute, for every
+    bank ROW, which observation (if any) lands on it — O(F·O) int32
+    comparisons — then build the new slot column with per-row gathers and one
+    dynamic_update_slice per array.
     """
-    if gt_p is None:
-        gt_p = jnp.zeros((ids.shape[0], 3), bank.uv.dtype)
-    if gt_cp is None:
-        gt_cp = jnp.zeros((ids.shape[0], 3), bank.uv.dtype)
     F = bank.fid.shape[0]
     O = ids.shape[0]
     valid = ids >= 0
 
-    # Match each obs to an existing bank row.
-    eq = (ids[:, None] == bank.fid[None, :]) & (bank.fid >= 0)[None, :]  # [O, F]
+    # Fused clear of the recycled slot column: drop stale observations and
+    # free rows left with no observations (unless SLAM states).
+    mask_pre = jax.lax.dynamic_update_index_in_dim(
+        bank.mask, jnp.zeros((F,), bool), slot, axis=1)
+    gone = ~jnp.any(mask_pre, axis=1) & bank.active & ~bank.is_slam
+    fid_pre = jnp.where(gone, -1, bank.fid)
+    planeid_pre = jnp.where(gone, -1, bank.planeid)
+
+    # Existing-id matches: eq[o, f].
+    eq = (ids[:, None] == fid_pre[None, :]) & (fid_pre >= 0)[None, :]  # [O, F]
     has_match = jnp.any(eq, axis=1)
-    match_slot = jnp.argmax(eq, axis=1)
 
-    # Allocate free rows for new observations, in order.
-    is_new = valid & ~has_match
-    free = bank.fid < 0
-    free_rank = jnp.cumsum(free) - 1          # rank of each free row  [F]
-    new_rank = jnp.cumsum(is_new) - 1         # rank of each new obs   [O]
-    n_free = jnp.sum(free)
-    # obs_for_rank[r] = obs index with new_rank r.
-    obs_for_rank = jnp.full((O + 1,), O, jnp.int32).at[
-        jnp.where(is_new, new_rank, O)
-    ].set(jnp.arange(O, dtype=jnp.int32))[:O]
-    # row_for_rank[r] = free row with free_rank r.
-    row_for_rank = jnp.full((F + 1,), F, jnp.int32).at[
-        jnp.where(free, free_rank, F)
-    ].set(jnp.arange(F, dtype=jnp.int32))[:F]
-    alloc_row = jnp.where(
-        is_new & (new_rank < n_free),
-        row_for_rank[jnp.clip(new_rank, 0, F - 1)],
-        F,  # dump row
-    )
+    # Allocate free rows for new observations, in order: the r-th new
+    # observation claims the r-th free row (rank matching is a bijection
+    # between the first min(n_free, n_new) of each; overflow obs match no
+    # row and are dropped).
+    is_new = valid & ~has_match               # [O]
+    free = fid_pre < 0                        # [F]
+    free_rank = jnp.cumsum(free) - 1          # [F]
+    new_rank = jnp.cumsum(is_new) - 1         # [O]
+    alloc = free[:, None] & is_new[None, :] & (free_rank[:, None] == new_rank[None, :])  # [F, O]
 
-    row = jnp.where(has_match, match_slot, alloc_row)
-    row = jnp.where(valid, row, F).astype(jnp.int32)
+    hit_of = eq.T | alloc                     # [F, O]: row f receives obs o
+    hit = jnp.any(hit_of, axis=1)             # [F]
+    src = jnp.argmax(hit_of, axis=1)          # [F] obs index feeding each row
+    is_new_row = jnp.any(alloc, axis=1)       # [F]
 
-    # Scatter with a dump row at index F.
-    fid = jnp.concatenate([bank.fid, jnp.zeros((1,), jnp.int32)])
-    fid = fid.at[row].set(jnp.where(valid, ids, 0))[:F]
-    planeid = jnp.concatenate([bank.planeid, jnp.zeros((1,), jnp.int32)])
-    planeid = planeid.at[row].set(jnp.where(valid, plane, 0))[:F]
-    K = bank.mask.shape[1]
-    mask = jnp.concatenate([bank.mask, jnp.zeros((1, K), bool)])
-    mask = mask.at[row, slot].set(valid)[:F]
-    uv_all = jnp.concatenate([bank.uv, jnp.zeros((1, K, 2), bank.uv.dtype)])
-    uv_all = uv_all.at[row, slot].set(uv)[:F]
-    uvn_all = jnp.concatenate([bank.uvn, jnp.zeros((1, K, 2), bank.uvn.dtype)])
-    uvn_all = uvn_all.at[row, slot].set(uvn)[:F]
-    gt_p_all = jnp.concatenate([bank.gt_p, jnp.zeros((1, 3), bank.gt_p.dtype)])
-    gt_p_all = gt_p_all.at[row].set(jnp.where(valid[:, None], gt_p, 0.0))[:F]
-    gt_cp_all = jnp.concatenate([bank.gt_cp, jnp.zeros((1, 3), bank.gt_cp.dtype)])
-    gt_cp_all = gt_cp_all.at[row].set(jnp.where(valid[:, None], gt_cp, 0.0))[:F]
+    if gt_p is None:
+        gt_p = jnp.zeros((O, 3), bank.uv.dtype)
+    if gt_cp is None:
+        gt_cp = jnp.zeros((O, 3), bank.uv.dtype)
+
+    hitc = hit[:, None]
+    fid = jnp.where(is_new_row, ids[src], fid_pre)
+    planeid = jnp.where(hit, plane[src], planeid_pre)
+    mask = jax.lax.dynamic_update_index_in_dim(mask_pre, hit, slot, axis=1)
+    uv_all = jax.lax.dynamic_update_index_in_dim(
+        bank.uv, jnp.where(hitc, uv[src], 0.0), slot, axis=1)
+    uvn_all = jax.lax.dynamic_update_index_in_dim(
+        bank.uvn, jnp.where(hitc, uvn[src], 0.0), slot, axis=1)
+    gt_p_all = jnp.where(hitc, gt_p[src], bank.gt_p)
+    gt_cp_all = jnp.where(hitc, gt_cp[src], bank.gt_cp)
 
     return bank.replace(fid=fid, uv=uv_all, uvn=uvn_all, mask=mask, planeid=planeid,
                         gt_p=gt_p_all, gt_cp=gt_cp_all)

@@ -159,6 +159,12 @@ class VioEngine:
             max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
             max_slam=max(cfg.state.max_slam_features, 1),
             max_planes=cfg.tpu.max_planes,
+            # Disabled calibration states get no error-state columns at all
+            # (layout.py): keeps D under the 128-lane TPU tile for the
+            # uncalibrated configs instead of carrying 15 dead columns.
+            calib_dt=cfg.state.do_calib_camera_timeoffset,
+            calib_pose=cfg.state.do_calib_camera_pose,
+            calib_intr=cfg.state.do_calib_camera_intrinsics,
         )
         jac = JacobianOptions(
             cam_model=cams.RADTAN if cfg.cam_model == "radtan" else cams.EQUI,
@@ -320,9 +326,9 @@ def triage(eng: VioEngine, state: VioState, bank: fb.FeatureBank, cur_slot, allo
     s_score = jnp.where(maxtrack & allow_slam & jnp.asarray(eng.use_slam), nobs, -1)
     s_scores, slam_idx = jax.lax.top_k(s_score, S)
     slam_valid = (s_scores > 0) & (jnp.arange(S) < free_cap)
-    promoted = jnp.zeros((bank.fid.shape[0] + 1,), bool).at[
-        jnp.where(slam_valid, slam_idx, bank.fid.shape[0])
-    ].set(True)[:-1]
+    # Membership test instead of a scatter (TPU scatters serialize).
+    rows = jnp.arange(bank.fid.shape[0])
+    promoted = jnp.any((rows[:, None] == slam_idx[None, :]) & slam_valid[None, :], axis=1)
 
     candidates = (lost | marg) & ~promoted & (nobs >= 2)
     score = jnp.where(candidates, nobs, -1)
@@ -412,9 +418,8 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     obs_id = jnp.where(obs_finite, frame.obs_id, -1)
     obs_uv = jnp.where(obs_finite[:, None], frame.obs_uv, 0.0)
     uvn = jax.vmap(lambda uv: cams.undistort(uv, zeta, eng.cam_model))(obs_uv)
-    bank = fb.clear_clone_column(bank, new_slot)
     bank = fb.ingest(bank, obs_id, obs_uv, uvn, frame.obs_plane, new_slot,
-                     gt_p=frame.obs_gt_p, gt_cp=frame.obs_gt_cp)
+                     gt_p=frame.obs_gt_p, gt_cp=frame.obs_gt_cp)  # fuses the slot-column clear
 
     # 3. Triage (masked off until enough clones, VioManager.cpp:355).
     can_update = state.num_clones >= eng.min_clones_to_update
@@ -510,11 +515,11 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         state = init_state
         bank = init_bank
 
-    # 9. Free consumed MSCKF rows (to_delete semantics).
+    # 9. Free consumed MSCKF rows (to_delete semantics); membership test
+    #    instead of a scatter.
     F = bank.fid.shape[0]
-    consumed_rows = jnp.zeros((F + 1,), bool).at[
-        jnp.where(sel_valid, sel_idx, F)
-    ].set(True)[:F]
+    consumed_rows = jnp.any(
+        (jnp.arange(F)[:, None] == sel_idx[None, :]) & sel_valid[None, :], axis=1)
     bank = fb.free_rows(bank, consumed_rows)
 
     # 10. Marginalize the oldest clone if over budget; clear its obs column.

@@ -175,11 +175,17 @@ def apply_dx(state: VioState, dx: jnp.ndarray) -> VioState:
     imu_ba = state.imu[13:16] + dx[lay.IMU_BA:lay.IMU_BA + 3]
     imu = jnp.concatenate([imu_q, imu_p, imu_v, imu_bg, imu_ba])
 
-    calib_dt = state.calib_dt + dx[lay.dt_idx]
-    cam_q = quat_boxplus(state.calib_cam[0:4], dx[lay.cam_pose_idx:lay.cam_pose_idx + 3])
-    cam_p = state.calib_cam[4:7] + dx[lay.cam_pose_idx + 3:lay.cam_pose_idx + 6]
-    calib_cam = jnp.concatenate([cam_q, cam_p])
-    cam_zeta = state.cam_zeta + dx[lay.cam_intr_idx:lay.cam_intr_idx + 8]
+    # Calibration blocks exist in the error state only when their layout flag
+    # is on (layout.py); a disabled block's mean is simply carried through.
+    calib_dt = state.calib_dt + dx[lay.dt_idx] if lay.calib_dt else state.calib_dt
+    if lay.calib_pose:
+        cam_q = quat_boxplus(state.calib_cam[0:4], dx[lay.cam_pose_idx:lay.cam_pose_idx + 3])
+        cam_p = state.calib_cam[4:7] + dx[lay.cam_pose_idx + 3:lay.cam_pose_idx + 6]
+        calib_cam = jnp.concatenate([cam_q, cam_p])
+    else:
+        calib_cam = state.calib_cam
+    cam_zeta = (state.cam_zeta + dx[lay.cam_intr_idx:lay.cam_intr_idx + 8]
+                if lay.calib_intr else state.cam_zeta)
 
     K = lay.max_clones
     dclone = jax.lax.dynamic_slice(dx, (lay.clone_base,), (6 * K,)).reshape(K, 6)

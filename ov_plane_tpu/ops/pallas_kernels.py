@@ -59,10 +59,12 @@ def _gram_kernel_batched(h_ref, r_ref, lam_ref, eta_ref, acc_lam, acc_eta):
     acc_lam[:] += jax.lax.dot_general(
         h, h, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     acc_eta[:] += jax.lax.dot_general(
         h, r, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(i == pl.num_programs(1) - 1)
@@ -172,10 +174,12 @@ def _downdate_kernel_batched(cov_ref, w_ref, u_ref, newcov_ref, dx_ref,
     acc_lam[:] += jax.lax.dot_general(
         w, w, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     acc_eta[:] += jax.lax.dot_general(
         w, u, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(i == pl.num_programs(1) - 1)
@@ -264,11 +268,33 @@ import os
 _DISABLE_PALLAS = os.environ.get("OVP_DISABLE_PALLAS", "0") == "1"
 
 
+# Below this row count the fused kernel loses: padding W to a full row tile
+# costs more HBM traffic (materialize + read Mp rows) than the saved second
+# read of W, and Mosaic fixed overhead dominates (ADVICE round 2). The
+# plane-init 3-row updates, ZUPT, and small compressed updates take the plain
+# XLA path; only genuinely stacked updates (M >= ~64) dispatch to Pallas.
+_MIN_PALLAS_ROWS = 64
+
+
+def _pallas_ok(dtype) -> bool:
+    """Trace-time dispatch: Pallas on an accelerator-default process, f32 only.
+
+    NOTE this keys on jax.default_backend() at TRACE time, not the committed
+    device of the operands: in a mixed "axon,cpu" process an f32 EKF update
+    traced for a CPU-committed computation would stage a Mosaic custom call
+    that cannot lower on CPU. All entry points keep f32 filter math on the
+    accelerator (CPU work runs f64, which takes the XLA branch); keep it that
+    way, or set OVP_DISABLE_PALLAS=1.
+    """
+    return (_HAVE_PALLAS and not _DISABLE_PALLAS
+            and jax.default_backend() in ("tpu", "axon") and dtype == jnp.float32)
+
+
 def kalman_downdate(cov: jnp.ndarray, W: jnp.ndarray, u: jnp.ndarray):
     """(P − WᵀW, Wᵀu) with the fused Pallas kernel on TPU, plain XLA elsewhere."""
-    backend = jax.default_backend()
-    if _HAVE_PALLAS and not _DISABLE_PALLAS and backend in ("tpu", "axon") and cov.dtype == jnp.float32:
-        return kalman_downdate_pallas(cov, W, u)
+    M = W.shape[0]
+    if _pallas_ok(cov.dtype) and M >= _MIN_PALLAS_ROWS:
+        return kalman_downdate_pallas(cov, W, u, tile_m=min(256, _round_up(M, 8)))
     return cov - W.T @ W, W.T @ u
 
 
@@ -279,7 +305,7 @@ def gram_reduce(H: jnp.ndarray, r: jnp.ndarray):
     helper lowers these Mosaic calls since the index maps were pinned to
     i32 — measured in-program on the v5e, round 2.)
     """
-    backend = jax.default_backend()
-    if _HAVE_PALLAS and not _DISABLE_PALLAS and backend in ("tpu", "axon") and H.dtype == jnp.float32:
-        return gram_reduce_pallas(H, r)
+    M = H.shape[0]
+    if _pallas_ok(H.dtype) and M >= _MIN_PALLAS_ROWS:
+        return gram_reduce_pallas(H, r, tile_m=min(256, _round_up(M, 8)))
     return H.T @ H, H.T @ r

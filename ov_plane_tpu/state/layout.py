@@ -5,14 +5,20 @@ at runtime (``State.cpp:33-102``, ``StateHelper::marginalize``
 ``StateHelper.cpp:276-344``). XLA requires static shapes, so instead the
 covariance is one fixed ``[D, D]`` array whose layout never changes:
 
-    [ imu(15) | dt(1) | cam_pose(6) | cam_intr(8) | clones(6K) | slam(3L) | planes(3P) ]
+    [ imu(15) | dt(0|1) | cam_pose(0|6) | cam_intr(0|8) | clones(6K) | slam(3L) | planes(3P) ]
 
 with fixed capacities K/L/P from config. Slots are *recycled*: marginalization
 zeroes a slot's rows/columns, delayed initialization writes a fresh block into
-a free slot. Active-slot masks live in the ``VioState`` pytree. Disabled
-calibration states simply keep zero covariance forever (their Kalman gain rows
-are identically zero), which lets one compiled program serve calibrated and
-uncalibrated configs.
+a free slot. Active-slot masks live in the ``VioState`` pytree.
+
+Calibration blocks are allocated only when the corresponding ``do_calib_*``
+config flag is on (``calib_dt/calib_pose/calib_intr``). A disabled calib state
+has no covariance columns at all — this keeps the uncalibrated error state at
+D = 15 + 6K + 3L + 3P, which for the default point-only replay fits a single
+128-lane TPU tile (the calibrated layout previously pushed D to 129, paying
+~2x tile padding in every covariance op — BASELINE.md round-2 bottleneck
+analysis). The calibration *means* always live in the ``VioState`` pytree;
+only their error-state columns are conditional.
 
 Error-state conventions match the reference (JPL, Trawny): pose error is
 [δθ(3), δp(3)]; IMU block order [δθ, δp, δv, δbg, δba] (Propagator.cpp:369-373).
@@ -30,6 +36,11 @@ class StateLayout:
     max_clones: int = 11
     max_slam: int = 25
     max_planes: int = 8
+    # Calibration error-state blocks present? (match the do_calib_* config
+    # flags; defaults keep the historical full layout).
+    calib_dt: bool = True
+    calib_pose: bool = True
+    calib_intr: bool = True
 
     # -- index anchors ------------------------------------------------------
     IMU_TH: int = 0
@@ -41,19 +52,20 @@ class StateLayout:
 
     @property
     def dt_idx(self) -> int:
+        """Start of the time-offset column (valid only if calib_dt)."""
         return self.IMU_SIZE
 
     @property
     def cam_pose_idx(self) -> int:
-        return self.IMU_SIZE + 1
+        return self.IMU_SIZE + (1 if self.calib_dt else 0)
 
     @property
     def cam_intr_idx(self) -> int:
-        return self.cam_pose_idx + 6
+        return self.cam_pose_idx + (6 if self.calib_pose else 0)
 
     @property
     def clone_base(self) -> int:
-        return self.cam_intr_idx + 8
+        return self.cam_intr_idx + (8 if self.calib_intr else 0)
 
     def clone_idx(self, i: int) -> int:
         """Start column of clone slot i (6 wide: [δθ, δp])."""

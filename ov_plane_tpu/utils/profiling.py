@@ -56,7 +56,6 @@ def run_sequence_profiled(eng: VioEngine, state, bank, sim_data, imu_window: int
         stages["propagation"] = t1 - t0
 
         uvn = jax.vmap(lambda uv: cams.undistort(uv, state.cam_zeta, eng.cam_model))(sim_data.obs_uv[i])
-        bank = fb.clear_clone_column(bank, slot)
         bank = fb.ingest(bank, sim_data.obs_id[i], sim_data.obs_uv[i], uvn, sim_data.obs_plane[i], slot)
         sel_idx, sel_valid, slam_idx, slam_valid = triage(eng, state, bank, slot, jnp.asarray(False))
         sel_valid = sel_valid & (state.num_clones >= eng.min_clones_to_update)
