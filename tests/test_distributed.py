@@ -1,0 +1,99 @@
+"""Two-process distributed replay (SURVEY.md §5.8; VERDICT round-2 item 7).
+
+Launches 2 separate Python processes, each with 2 virtual CPU devices, joins
+them via jax.distributed (gloo CPU collectives), and runs the data-parallel
+batched replay over the resulting 4-device global mesh. Asserts:
+
+* the mesh genuinely spans processes (4 global devices seen by each worker);
+* both workers agree on the replicated fleet metric (its psum crossed the
+  process boundary);
+* the sharded per-sequence trajectories match an in-process single-process
+  replay of the identical batch.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "helpers", "dist_replay_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_replay_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        JAX_ENABLE_X64="1",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    outs = [tmp_path / f"w{i}.npz" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), str(outs[i])],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n=== worker logs ===\n" + "\n".join(logs)
+
+    w0 = np.load(outs[0])
+    w1 = np.load(outs[1])
+    # The mesh spans processes: each worker saw all 4 devices.
+    assert int(w0["n_global_devices"]) == 4
+    assert int(w1["n_global_devices"]) == 4
+    # The replicated fleet metric (a cross-process psum) agrees.
+    np.testing.assert_allclose(w0["fleet_rmse"], w1["fleet_rmse"], rtol=1e-12)
+    assert np.isfinite(float(w0["fleet_rmse"])) and float(w0["fleet_rmse"]) < 1.0
+
+    # Single-process oracle on the identical batch.
+    import jax
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
+    from tests.helpers.dist_replay_config import make_cfg_sim
+
+    cfg, sim = make_cfg_sim()
+    eng = VioEngine.from_config(cfg)
+    st = init_state_with_gt(
+        eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0], v0=sim.gt_v[0],
+        bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0],
+    )
+    bk = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    _, _, outs_ref = jax.jit(
+        lambda s, b: run_sequence(eng, s, b, sim, imu_window=cfg.tpu.max_imu_per_frame)
+    )(st, bk)
+    p_ref = np.asarray(outs_ref.p)
+
+    err = np.asarray(outs_ref.p) - np.asarray(sim.gt_p[1:])
+    rmse_ref = float(np.sqrt(np.mean(np.sum(err**2, axis=-1))))
+    np.testing.assert_allclose(float(w0["fleet_rmse"]), rmse_ref, rtol=1e-9)
+
+    # Every distributed batch member replayed the same stream from the same
+    # init; each local shard must match the oracle trajectory.
+    for w in (w0, w1):
+        for k in range(w["p_local"].shape[0]):
+            np.testing.assert_allclose(w["p_local"][k, 0], p_ref, atol=1e-9)
