@@ -153,12 +153,22 @@ def main_vision():
           file=sys.stderr)
 
     eng = VioEngine.from_config(cfg)
+    # On the accelerator the filter runs f32 (validated ≡ f64 on this
+    # workload; f64 matmuls are emulated on TPU); CPU keeps f64.
+    accel = _accel_device()
+    on_tpu = accel.platform not in ("cpu",)
+    dt = jnp.float32 if on_tpu else jnp.float64
     state = init_state_with_gt(
         eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
-        v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0])
-    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0], dtype=dt)
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
     pipe = VisionPipeline(cfg, eng)
     imu_t, imu_w, imu_a = map(np.asarray, (sim.imu_t, sim.imu_w, sim.imu_a))
+    print(f"[bench] vision device: {accel} filter dtype: {dt.__name__}", file=sys.stderr)
+
+    def cast_frame(fr):
+        return jax.tree.map(
+            lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, fr)
 
     stage_track, stage_plane, stage_step = [], [], []
     t_loop0 = time.time()
@@ -174,8 +184,8 @@ def main_vision():
                                  imu_t=imu_t[start:end], imu_w=imu_w[start:end],
                                  t_new=float(sim.cam_t_imu[i]))
         t_b = time.perf_counter()
-        frame = pipe.make_frame(obs, imu_t[start:end], imu_w[start:end],
-                                imu_a[start:end], float(sim.cam_t_imu[i]))
+        frame = cast_frame(pipe.make_frame(obs, imu_t[start:end], imu_w[start:end],
+                                           imu_a[start:end], float(sim.cam_t_imu[i])))
         state, bank, out = step(eng, state, bank, frame)
         jax.block_until_ready(out.p)
         t_c = time.perf_counter()

@@ -27,10 +27,30 @@ from ov_plane_tpu.frontend import fast as ffast
 from ov_plane_tpu.frontend import klt as fklt
 from ov_plane_tpu.frontend.plane_track import PlaneTracker
 from ov_plane_tpu.models import feature_bank as fb
-from ov_plane_tpu.models.jacobians import clone_set_from_state
 from ov_plane_tpu.models.manager import FrameData, VioEngine, step
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.config import VioConfig
+
+
+def np_quat_2_rot(q: np.ndarray) -> np.ndarray:
+    """Host (numpy) JPL quaternion → R_GtoL; same convention as ops.quat.
+
+    The pipeline's per-frame pose bookkeeping is a handful of 3×3 products —
+    running them as eager JAX ops cost a device dispatch each (tens of ms per
+    frame through the remote-TPU tunnel); host numpy is effectively free.
+    """
+    qv, w = np.asarray(q[:3], float), float(q[3])
+    sk = np.array([[0, -qv[2], qv[1]], [qv[2], 0, -qv[0]], [-qv[1], qv[0], 0.0]])
+    return (2 * w * w - 1) * np.eye(3) - 2 * w * sk + 2 * np.outer(qv, qv)
+
+
+def np_cam_pose(state: VioState, slot: int):
+    """(R_GtoC, p_CinG) of clone `slot`, computed on the host."""
+    R_GtoI = np_quat_2_rot(np.asarray(state.clones_q[slot]))
+    p_IinG = np.asarray(state.clones_p[slot], float)
+    R_ItoC = np_quat_2_rot(np.asarray(state.calib_cam[0:4]))
+    p_IinC = np.asarray(state.calib_cam[4:7], float)
+    return R_ItoC @ R_GtoI, p_IinG - R_GtoI.T @ (R_ItoC.T @ p_IinC)
 
 
 @dataclass
@@ -176,7 +196,6 @@ class VisionPipeline:
         R_cam = None
         if imu_t is not None and imu_w is not None:
             from ov_plane_tpu.frontend.ransac import integrate_gyro
-            from ov_plane_tpu.ops.quat import quat_2_rot
 
             I = cfg.tpu.max_imu_per_frame
             t_pad = np.full(I, np.inf)
@@ -193,23 +212,23 @@ class VisionPipeline:
             t_hi = float(t_new) if t_new is not None else 1e30
             R_imu = integrate_gyro(jnp.asarray(t_pad), jnp.asarray(w_pad),
                                    t_lo, t_hi, state.imu[10:13])
-            R_ItoC = quat_2_rot(state.calib_cam[0:4])
+            R_ItoC = jnp.asarray(np_quat_2_rot(np.asarray(state.calib_cam[0:4])),
+                                 jnp.float32)
+            R_imu = jnp.asarray(R_imu, jnp.float32)
             R_cam = R_ItoC @ R_imu @ R_ItoC.T
 
         from ov_plane_tpu.ops import cams
 
         zeta = state.cam_zeta
-        und = jax.vmap(lambda uv: cams.undistort(uv, zeta, self.eng.cam_model))
+        und = jax.jit(jax.vmap(lambda uv: cams.undistort(uv, zeta, self.eng.cam_model)))
 
         # 0b. Incremental triangulation accumulation (TrackPlane.cpp:626-657):
         #     the pre-track uv's belong to the PREVIOUS image, whose pose is
         #     the state's newest clone (step() ran after that image). Rank-1
         #     update of each slot's 3x3 system with the bearing projector.
         if fe.prev_pyr is not None and fe.valid.any() and int(state.num_clones) >= 1:
-            clones = clone_set_from_state(state)
             newest = int(np.asarray(state.newest_clone_slot))
-            R_prev = np.asarray(clones.R_GtoC[newest])
-            p_prev = np.asarray(clones.p_CinG[newest])
+            R_prev, p_prev = np_cam_pose(state, newest)
             uvn_all = np.asarray(und(jnp.asarray(fe.uv, jnp.float32)), np.float64)
             b_c = np.concatenate([uvn_all, np.ones((fe.cap, 1))], axis=1)
             b_g = b_c @ R_prev          # R_prev.T @ b per row
@@ -236,10 +255,8 @@ class VisionPipeline:
             uvn_prev = und(pts0)
             init_flow = None
             if R_cam is not None:
-                from ov_plane_tpu.ops.quat import quat_2_rot as _q2r
-
-                R_GtoI_prev = np.asarray(_q2r(state.imu[0:4]))
-                R_ItoC_np = np.asarray(_q2r(state.calib_cam[0:4]))
+                R_GtoI_prev = np_quat_2_rot(np.asarray(state.imu[0:4]))
+                R_ItoC_np = np_quat_2_rot(np.asarray(state.calib_cam[0:4]))
                 p_IinC_np = np.asarray(state.calib_cam[4:7])
                 R_GtoC_prev = R_ItoC_np @ R_GtoI_prev
                 R_cam_np = np.asarray(R_cam)               # C_prev → C_new
@@ -359,10 +376,8 @@ class VisionPipeline:
         _tri_wall = 0.0
         tracker_ran = False
         if int(state.num_clones) >= 1 and (fe.tri_n >= tp.feat_init_min_obs).any():
-            clones = clone_set_from_state(state)
             newest = int(np.asarray(state.newest_clone_slot))
-            R_GtoC = np.asarray(clones.R_GtoC[newest])
-            p_CinG = np.asarray(clones.p_CinG[newest])
+            R_GtoC, p_CinG = np_cam_pose(state, newest)
             g = solve_track_triangulations(fe, tp, R_GtoC, p_CinG)
             p3, ok3 = g["p3"], g["ok"]
             _tri_wall = _time.perf_counter() - _tri_t0
