@@ -158,52 +158,121 @@ def main_vision():
     accel = _accel_device()
     on_tpu = accel.platform not in ("cpu",)
     dt = jnp.float32 if on_tpu else jnp.float64
+    fused = os.environ.get("BENCH_VISION_FUSED", "1") == "1"
+    Bv = int(os.environ.get("BENCH_VISION_BATCH", "1"))
     state = init_state_with_gt(
         eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
         v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0], dtype=dt)
     bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
-    pipe = VisionPipeline(cfg, eng)
     imu_t, imu_w, imu_a = map(np.asarray, (sim.imu_t, sim.imu_w, sim.imu_a))
-    print(f"[bench] vision device: {accel} filter dtype: {dt.__name__}", file=sys.stderr)
+    print(f"[bench] vision device: {accel} filter dtype: {dt.__name__} "
+          f"fused={fused} batch={Bv}", file=sys.stderr)
 
-    def cast_frame(fr):
-        return jax.tree.map(
-            lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, fr)
+    W = cfg.tpu.max_imu_per_frame
 
-    stage_track, stage_plane, stage_step = [], [], []
-    t_loop0 = time.time()
-    t_steady = None
+    def imu_window(i):
+        s0 = int(sim.imu_window_start[i])
+        it = np.full(W, np.inf)
+        iw = np.zeros((W, 3))
+        ia = np.zeros((W, 3))
+        m = len(imu_t[s0:s0 + W])
+        it[:m] = imu_t[s0:s0 + W]
+        iw[:m] = imu_w[s0:s0 + W]
+        ia[:m] = imu_a[s0:s0 + W]
+        return it, iw, ia
+
     n_init, n_constr, max_planes = 0, 0, 0
-    for i in range(1, n + 1):
-        if i == WARMUP + 1:
-            t_steady = time.time()
-        start = int(sim.imu_window_start[i])
-        end = min(start + cfg.tpu.max_imu_per_frame, len(imu_t))
-        t_a = time.perf_counter()
-        obs = pipe.process_image(frames[i - 1], state, bank,
-                                 imu_t=imu_t[start:end], imu_w=imu_w[start:end],
-                                 t_new=float(sim.cam_t_imu[i]))
-        t_b = time.perf_counter()
-        frame = cast_frame(pipe.make_frame(obs, imu_t[start:end], imu_w[start:end],
-                                           imu_a[start:end], float(sim.cam_t_imu[i])))
-        state, bank, out = step(eng, state, bank, frame)
-        jax.block_until_ready(out.p)
-        t_c = time.perf_counter()
-        if i > WARMUP:
-            stage_track.append(t_b - t_a - pipe.last_plane_stats.get("total", 0.0))
-            stage_plane.append(pipe.last_plane_stats.get("total", 0.0))
-            stage_step.append(t_c - t_b)
-        n_init += int(out.n_plane_init)
-        n_constr += int(out.n_plane_constraints)
-        max_planes = max(max_planes, int(out.n_planes))
-    wall = time.time() - (t_steady or t_loop0)
-    n_timed = n - WARMUP
-    fps = n_timed / wall
-    print(f"[bench] vision path: {n_timed} steady frames in {wall:.2f}s; "
-          f"stages(ms): track={1e3*np.mean(stage_track):.1f} "
-          f"plane={1e3*np.mean(stage_plane):.1f} filter={1e3*np.mean(stage_step):.1f}; "
-          f"plane_init={n_init} constraints={n_constr} max_planes={max_planes}",
-          file=sys.stderr)
+    stage_dev, stage_plane = [], []
+
+    if fused:
+        # One-dispatch frontend+filter program (frontend/fused.py): the
+        # TPU-native vision path. BENCH_VISION_BATCH=B vmaps it over B
+        # streams (each stream gets per-stream pixel noise so the batch is
+        # genuinely distinct computation — same rationale as the sim bench).
+        from ov_plane_tpu.frontend.fused import FusedVisionDriver
+
+        drv = FusedVisionDriver(cfg, eng, batch=Bv if Bv > 1 else 0)
+        fev = drv.init_frontend()
+        if Bv > 1:
+            rngv = np.random.default_rng(5)
+            img_noise = rngv.normal(0.0, 0.01, (Bv, *frames[0].shape)).astype(np.float32)
+            state = jax.tree.map(lambda x: jnp.stack([x] * Bv), state)
+            bank = jax.tree.map(lambda x: jnp.stack([x] * Bv), bank)
+            fev = jax.tree.map(lambda x: jnp.stack([x] * Bv), fev)
+
+        t_steady = None
+        t_loop0 = time.time()
+        for i in range(1, n + 1):
+            if i == WARMUP + 1:
+                t_steady = time.time()
+            it, iw, ia = imu_window(i)
+            tn = float(sim.cam_t_imu[i])
+            if Bv > 1:
+                imgs = np.clip(frames[i - 1][None] + img_noise, 0.0, 1.0)
+                state, bank, fev, out = drv.step_batch(
+                    state, bank, fev, imgs, np.tile(it, (Bv, 1)),
+                    np.tile(iw, (Bv, 1, 1)), np.tile(ia, (Bv, 1, 1)),
+                    np.full(Bv, tn))
+                n_init += int(np.sum(np.asarray(out.n_plane_init)))
+                n_constr += int(np.sum(np.asarray(out.n_plane_constraints)))
+                max_planes = max(max_planes, int(np.max(np.asarray(out.n_planes))))
+            else:
+                state, bank, fev, out = drv.step_stream(
+                    state, bank, fev, frames[i - 1], it, iw, ia, tn)
+                n_init += int(out.n_plane_init)
+                n_constr += int(out.n_plane_constraints)
+                max_planes = max(max_planes, int(out.n_planes))
+            if i > WARMUP:
+                stage_dev.append(drv.last_times["device"])
+                stage_plane.append(drv.last_times["host_plane"])
+        wall = time.time() - (t_steady or t_loop0)
+        n_timed = (n - WARMUP) * max(Bv, 1)
+        fps = n_timed / wall
+        print(f"[bench] FUSED vision: {n - WARMUP} steady frames x {max(Bv, 1)} streams "
+              f"in {wall:.2f}s; stages(ms/frame): device={1e3*np.mean(stage_dev):.1f} "
+              f"host_plane={1e3*np.mean(stage_plane):.1f}; "
+              f"plane_init={n_init} constraints={n_constr} max_planes={max_planes}",
+              file=sys.stderr)
+    else:
+        pipe = VisionPipeline(cfg, eng)
+
+        def cast_frame(fr):
+            return jax.tree.map(
+                lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, fr)
+
+        stage_track, stage_step = [], []
+        t_loop0 = time.time()
+        t_steady = None
+        for i in range(1, n + 1):
+            if i == WARMUP + 1:
+                t_steady = time.time()
+            start = int(sim.imu_window_start[i])
+            end = min(start + W, len(imu_t))
+            t_a = time.perf_counter()
+            obs = pipe.process_image(frames[i - 1], state, bank,
+                                     imu_t=imu_t[start:end], imu_w=imu_w[start:end],
+                                     t_new=float(sim.cam_t_imu[i]))
+            t_b = time.perf_counter()
+            frame = cast_frame(pipe.make_frame(obs, imu_t[start:end], imu_w[start:end],
+                                               imu_a[start:end], float(sim.cam_t_imu[i])))
+            state, bank, out = step(eng, state, bank, frame)
+            jax.block_until_ready(out.p)
+            t_c = time.perf_counter()
+            if i > WARMUP:
+                stage_track.append(t_b - t_a - pipe.last_plane_stats.get("total", 0.0))
+                stage_plane.append(pipe.last_plane_stats.get("total", 0.0))
+                stage_step.append(t_c - t_b)
+            n_init += int(out.n_plane_init)
+            n_constr += int(out.n_plane_constraints)
+            max_planes = max(max_planes, int(out.n_planes))
+        wall = time.time() - (t_steady or t_loop0)
+        n_timed = n - WARMUP
+        fps = n_timed / wall
+        print(f"[bench] vision path (UNFUSED): {n_timed} steady frames in {wall:.2f}s; "
+              f"stages(ms): track={1e3*np.mean(stage_track):.1f} "
+              f"plane={1e3*np.mean(stage_plane):.1f} filter={1e3*np.mean(stage_step):.1f}; "
+              f"plane_init={n_init} constraints={n_constr} max_planes={max_planes}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "vision_vio_frames_per_sec_single_chip",

@@ -1,0 +1,459 @@
+"""One-dispatch vision step: the full frontend + filter frame in a single
+jitted device program.
+
+The unfused VisionPipeline interleaves ~25 separate device calls per frame
+(preprocess, pyramid, gyro integration, LK prior, KLT, RANSAC, FAST,
+undistorts, filter step) with host numpy between them. On a directly-attached
+TPU each dispatch costs ~0.1 ms; through the axon remote tunnel each costs a
+network round trip (~70 ms measured), putting the unfused path at 0.44
+frames/s on the v5e — pure dispatch, zero compute (BASELINE.md round 3).
+
+This module is the TPU-native form of ``track_image_and_update``
+(VioManager.cpp:267-328): everything device-side — image preprocessing,
+pyramid, gyro-seeded LK prior, KLT tracking, gyro 2-pt RANSAC, FAST top-up
+with slot allocation, whole-track triangulation, observation emission, and
+the full filter step — is ONE compiled program, called once per frame. The
+host keeps exactly the work that is inherently sequential (SURVEY §7.3.4):
+Delaunay plane detection and plane-id merging, fed by a small per-frame pull
+(ids/uv/p3 ≈ 1 kB) and folded back in as per-id plane labels ONE FRAME LATER
+— which is the reference's own dataflow: ``perform_plane_detection_monocular``
+runs on the PREVIOUS image's tracks at the start of ``feed_monocular``
+(TrackPlane.cpp:463-578, 580-1121).
+
+Batched replay (many streams on one chip): ``jax.vmap`` of the same program
+over a leading stream axis; the host runs B independent plane trackers on the
+pulled batch. See ``FusedVisionDriver.step_batch``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ov_plane_tpu.frontend import fast as ffast
+from ov_plane_tpu.frontend import imageproc as ip
+from ov_plane_tpu.frontend import klt as fklt
+from ov_plane_tpu.frontend.ransac import RansacOptions, gyro_ransac, integrate_gyro
+from ov_plane_tpu.models import feature_bank as fb
+from ov_plane_tpu.models.manager import FrameData, VioEngine, step
+from ov_plane_tpu.ops import cams
+from ov_plane_tpu.ops.quat import quat_2_rot
+
+
+class FusedVisionOptions(NamedTuple):
+    """Static (hashable) knobs of the fused program."""
+
+    cam_model: int
+    h: int
+    w: int
+    cap: int                    # feature slot capacity (== max_obs_per_frame)
+    num_target: int             # detection top-up target (num_pts + num_pts_plane)
+    klt: fklt.KltOptions
+    fast: ffast.FastOptions
+    ransac: RansacOptions
+    histogram_method: int
+    merge_slots: int = 8
+    # Whole-track triangulation gates (TrackPlane.cpp:668-680 + ray-RMS).
+    feat_init_min_obs: int = 4
+    min_dist: float = 0.25
+    max_dist: float = 40.0
+    max_cond: float = 5000.0
+    max_ray_rms_rel: float = 0.05
+    max_ray_rms_abs: float = 0.05
+
+
+@struct.dataclass
+class FusedFrontendState:
+    """Device-resident tracker state (the FrontendState equivalent)."""
+
+    pyr: fklt.PreparedPyramid      # previous frame's prepared pyramid
+    ids: jnp.ndarray               # [cap] int32 (-1 free)
+    uv: jnp.ndarray                # [cap, 2] f32 pixels
+    valid: jnp.ndarray             # [cap] bool
+    next_id: jnp.ndarray           # scalar int32
+    tri_A: jnp.ndarray             # [cap, 3, 3] whole-track systems
+    tri_b: jnp.ndarray             # [cap, 3]
+    tri_c: jnp.ndarray             # [cap]
+    tri_n: jnp.ndarray             # [cap] int32
+    has_prev: jnp.ndarray          # scalar bool
+
+    @classmethod
+    def create(cls, vopts: FusedVisionOptions, first_id: int = 1) -> "FusedFrontendState":
+        cap = vopts.cap
+        zero_img = jnp.zeros((vopts.h, vopts.w), jnp.float32)
+        pyr = fklt.prepare_pyramid(
+            tuple(fklt.build_pyramid(zero_img, vopts.klt.levels)), vopts.klt.window)
+        return cls(
+            pyr=pyr,
+            ids=jnp.full((cap,), -1, jnp.int32),
+            uv=jnp.zeros((cap, 2), jnp.float32),
+            valid=jnp.zeros((cap,), bool),
+            next_id=jnp.asarray(first_id, jnp.int32),
+            tri_A=jnp.zeros((cap, 3, 3), jnp.float32),
+            tri_b=jnp.zeros((cap, 3), jnp.float32),
+            tri_c=jnp.zeros((cap,), jnp.float32),
+            tri_n=jnp.zeros((cap,), jnp.int32),
+            has_prev=jnp.asarray(False),
+        )
+
+
+def _inv3(A, ridge):
+    """Closed-form 3x3 inverse with a diagonal ridge (no LU — TPU-safe)."""
+    A = A + ridge[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+    c01 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+    c02 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+    c10 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+    c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+    c12 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+    c20 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+    c21 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+    c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    det = A[..., 0, 0] * c00 + A[..., 0, 1] * c01 + A[..., 0, 2] * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def _solve_tracks(fev: FusedFrontendState, vopts: FusedVisionOptions, R_GtoC, p_CinG):
+    """Device port of pipeline.solve_track_triangulations (same math+gates)."""
+    enough = fev.valid & (fev.tri_n >= vopts.feat_init_min_obs)
+    ridge = 1e-6 * (jnp.trace(fev.tri_A, axis1=-2, axis2=-1) + 1.0)
+    ridge = ridge + jnp.where(enough, 0.0, 1.0)
+    Ainv = _inv3(fev.tri_A, ridge)
+    p3 = jnp.einsum("nij,nj->ni", Ainv, fev.tri_b)
+    # tri_A is symmetric PSD: condition from eigenvalues.
+    ev = jnp.linalg.eigvalsh(fev.tri_A)
+    cond = ev[:, 2] / jnp.maximum(ev[:, 0], 1e-18)
+    depth = (p3 - p_CinG[None, :]) @ R_GtoC[2]
+    quad = (jnp.einsum("ni,nij,nj->n", p3, fev.tri_A, p3)
+            - 2.0 * jnp.einsum("ni,ni->n", p3, fev.tri_b) + fev.tri_c)
+    ray_rms = jnp.sqrt(jnp.maximum(quad, 0.0) / jnp.maximum(fev.tri_n, 1))
+    rms_gate = jnp.maximum(vopts.max_ray_rms_rel * jnp.abs(depth), vopts.max_ray_rms_abs)
+    ok = (enough & (cond <= vopts.max_cond)
+          & (depth >= vopts.min_dist) & (depth <= vopts.max_dist)
+          & (ray_rms <= rms_gate)
+          & jnp.all(jnp.isfinite(p3), axis=1))
+    return p3, ok
+
+
+@functools.partial(jax.jit, static_argnames=("eng", "vopts"))
+def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
+                      state, bank, fev: FusedFrontendState,
+                      img, imu_t, imu_w, imu_a, t_new,
+                      label_ids, label_pid, merge_from, merge_into):
+    """One camera frame, one dispatch. All f32 frontend math; the filter step
+    runs in the state's dtype.
+
+    img [h, w] float in [0,1]; imu_* fixed windows covering [state.t, t_new];
+    label_ids/label_pid [cap]: feature-id → plane-id labels from the HOST
+    plane detector (previous frame — reference dataflow); merge_from/into [Q].
+
+    Returns (state', bank', fev', out, pull) with pull = (ids, uv, valid,
+    p3, ok3) for the host plane detector.
+    """
+    f32 = jnp.float32
+    sdt = state.imu.dtype
+    cap = vopts.cap
+
+    # --- image → prepared pyramid ---------------------------------------
+    img_j = ip.preprocess(img.astype(f32), vopts.histogram_method)
+    pyr = fklt.prepare_pyramid(
+        tuple(fklt.build_pyramid(img_j, vopts.klt.levels)), vopts.klt.window)
+
+    # --- gyro-integrated inter-frame camera rotation ----------------------
+    R_imu = integrate_gyro(imu_t.astype(f32), imu_w.astype(f32),
+                           state.t.astype(f32), jnp.asarray(t_new, f32),
+                           state.imu[10:13].astype(f32))
+    R_ItoC = quat_2_rot(state.calib_cam[0:4]).astype(f32)
+    p_IinC = state.calib_cam[4:7].astype(f32)
+    R_cam = R_ItoC @ R_imu @ R_ItoC.T
+
+    # --- previous camera pose (newest clone ≡ the previous image) ---------
+    newest = state.newest_clone_slot
+    have_clone = state.num_clones >= 1
+    R_GtoI_pc = quat_2_rot(state.clones_q[newest]).astype(f32)
+    p_I_pc = state.clones_p[newest].astype(f32)
+    R_prevC = R_ItoC @ R_GtoI_pc
+    p_prevC = p_I_pc - R_GtoI_pc.T @ (R_ItoC.T @ p_IinC)
+
+    zeta = state.cam_zeta.astype(f32)
+    und = jax.vmap(lambda uv: cams.undistort(uv, zeta, vopts.cam_model))
+
+    # --- incremental whole-track triangulation (pre-track uv at prev pose) -
+    uvn_prev = und(fev.uv)
+    b_c = jnp.concatenate([uvn_prev, jnp.ones((cap, 1), f32)], axis=1)
+    b_g = b_c @ R_prevC
+    b_g = b_g / jnp.maximum(jnp.linalg.norm(b_g, axis=1, keepdims=True), 1e-18)
+    Ai = jnp.eye(3, dtype=f32)[None] - b_g[:, :, None] * b_g[:, None, :]
+    acc = (fev.valid & fev.has_prev & have_clone)
+    accf = acc.astype(f32)
+    tri_A = fev.tri_A + accf[:, None, None] * Ai
+    tri_b = fev.tri_b + accf[:, None] * (Ai @ p_prevC)
+    tri_c = fev.tri_c + accf * jnp.einsum("nij,i,j->n", Ai, p_prevC, p_prevC)
+    tri_n = fev.tri_n + acc.astype(jnp.int32)
+    fev = fev.replace(tri_A=tri_A, tri_b=tri_b, tri_c=tri_c, tri_n=tri_n)
+
+    # --- predicted-pose LK flow prior (pipeline step 1 port) --------------
+    R_GtoI_pi = quat_2_rot(state.imu[0:4]).astype(f32)
+    R_GtoC_pi = R_ItoC @ R_GtoI_pi
+    R_GtoC_new = R_cam @ R_GtoC_pi
+    p_I_prev = state.imu[4:7].astype(f32)
+    v_IinG = state.imu[7:10].astype(f32)
+    dtf = jnp.maximum(jnp.asarray(t_new, f32) - state.t.astype(f32), 0.0)
+    p_C_prev = p_I_prev - R_GtoC_pi.T @ p_IinC
+    p_C_new = (p_I_prev + v_IinG * dtf) - R_GtoC_new.T @ p_IinC
+
+    has_tri = fev.valid & (fev.tri_n >= 2)
+    ridge = 1e-6 * (jnp.trace(fev.tri_A, axis1=-2, axis2=-1) + 1.0)
+    ridge = ridge + jnp.where(has_tri, 0.0, 1.0)
+    p3r = jnp.einsum("nij,nj->ni", _inv3(fev.tri_A, ridge), fev.tri_b)
+    z = (p3r - p_C_prev[None, :]) @ R_GtoC_pi[2]
+    good_d = has_tri & jnp.isfinite(z) & (z > vopts.min_dist) & (z < vopts.max_dist)
+    # Masked median depth for young tracks.
+    z_sorted = jnp.sort(jnp.where(good_d, z, jnp.inf))
+    n_good = jnp.sum(good_d)
+    med = z_sorted[jnp.clip((n_good - 1) // 2, 0, cap - 1)]
+    med = jnp.where(n_good > 0, med, jnp.inf)
+    depth = jnp.where(good_d, z, med)
+    finite_d = jnp.isfinite(depth) & fev.valid
+    pt_C_prev = b_c * jnp.where(finite_d, depth, 1.0)[:, None]
+    pt_G = pt_C_prev @ R_GtoC_pi + p_C_prev
+    pt_C_new = (pt_G - p_C_new) @ R_GtoC_new.T
+    b_rot = b_c @ R_cam.T
+    dir_new = jnp.where(finite_d[:, None], pt_C_new, b_rot)
+    pred = jax.vmap(lambda p: cams.project(p, zeta, vopts.cam_model)[0])(dir_new)
+    flow = pred - fev.uv
+    good = (dir_new[:, 2] > 0.1) & jnp.all(jnp.isfinite(flow), axis=1)
+    init_flow = jnp.where(good[:, None], flow, 0.0)
+
+    # --- KLT + gyro RANSAC -------------------------------------------------
+    track_mask = fev.valid & fev.has_prev
+    p1, ok = fklt.track(fev.pyr, pyr, fev.uv, track_mask, vopts.klt, init_flow)
+    uvn_cur = und(p1)
+    inl, _, _ = gyro_ransac(uvn_prev, uvn_cur, ok, R_cam, vopts.ransac)
+    ok = jnp.where(jnp.sum(ok) >= 8, ok & inl, ok)
+
+    uv = jnp.where(ok[:, None], p1, fev.uv)
+    valid = ok
+    ids = jnp.where(valid, fev.ids, -1)
+
+    # --- FAST top-up with in-program slot allocation -----------------------
+    n_needed = jnp.clip(vopts.num_target - jnp.sum(valid), 0, cap)
+    new_uv, new_ok = ffast.detect_grid(img_j, uv, valid, vopts.fast, vopts.h, vopts.w)
+    free = ~valid
+    free_rank = jnp.cumsum(free) - 1
+    new_rank = jnp.cumsum(new_ok) - 1
+    alloc = (free[:, None] & new_ok[None, :]
+             & (free_rank[:, None] == new_rank[None, :])
+             & (new_rank[None, :] < n_needed))
+    is_new_row = jnp.any(alloc, axis=1)
+    src = jnp.argmax(alloc, axis=1)
+    uv = jnp.where(is_new_row[:, None], new_uv[src], uv)
+    valid = valid | is_new_row
+    ids = jnp.where(is_new_row, fev.next_id + free_rank.astype(jnp.int32), ids)
+    n_new = jnp.sum(is_new_row).astype(jnp.int32)
+    # Reset whole-track systems of re-allocated slots.
+    rs = is_new_row
+    fev = fev.replace(
+        tri_A=jnp.where(rs[:, None, None], 0.0, fev.tri_A),
+        tri_b=jnp.where(rs[:, None], 0.0, fev.tri_b),
+        tri_c=jnp.where(rs, 0.0, fev.tri_c),
+        tri_n=jnp.where(rs, 0, fev.tri_n),
+    )
+
+    # --- whole-track triangulation solve + gates (for the host detector) ---
+    p3, ok3 = _solve_tracks(fev, vopts, R_prevC, p_prevC)
+    p3 = jnp.where((ok3 & have_clone)[:, None], p3, 0.0)
+    ok3 = ok3 & have_clone
+
+    # --- plane labels from the host detector (previous frame, by id) ------
+    leq = (ids[:, None] == label_ids[None, :]) & (label_ids >= 0)[None, :] & (ids >= 0)[:, None]
+    has_l = jnp.any(leq, axis=1)
+    pid = jnp.where(has_l, label_pid[jnp.argmax(leq, axis=1)], -1)
+
+    # --- observation emission + filter step -------------------------------
+    obs_id = jnp.where(valid, ids, -1)
+    frame = FrameData(
+        imu_t=imu_t.astype(sdt), imu_w=imu_w.astype(sdt), imu_a=imu_a.astype(sdt),
+        t_new=jnp.asarray(t_new, sdt),
+        obs_id=obs_id, obs_uv=uv.astype(sdt), obs_plane=pid,
+        merge_from=merge_from, merge_into=merge_into,
+    )
+    new_state, new_bank, out = step(eng, state, bank, frame)
+
+    fev = fev.replace(pyr=pyr, ids=ids, uv=uv, valid=valid,
+                      next_id=fev.next_id + n_new, has_prev=jnp.asarray(True))
+    dbg = jnp.stack([jnp.sum(track_mask), jnp.sum(ok), jnp.sum(inl & track_mask),
+                     jnp.sum(new_ok), n_needed, n_new]).astype(jnp.int32)
+    pull = (ids, uv, valid, p3, ok3, dbg)
+    return new_state, new_bank, fev, out, pull
+
+
+class FusedVisionDriver:
+    """Host driver for the fused program: holds the device frontend state,
+    runs the (inherently sequential) Delaunay plane detector on the previous
+    frame's pulled tracks, and feeds the resulting labels/merges into the next
+    dispatch. One device round trip per frame per stream; `step_batch` vmaps
+    the program over B independent streams (one chip, B sequences)."""
+
+    def __init__(self, cfg, eng: VioEngine, batch: int = 0):
+        from ov_plane_tpu.frontend.plane_track import PlaneTracker
+
+        cap = cfg.tpu.max_obs_per_frame
+        self.vopts = FusedVisionOptions(
+            cam_model=cams.RADTAN if cfg.cam_model == "radtan" else cams.EQUI,
+            h=cfg.cam_wh[1], w=cfg.cam_wh[0],
+            cap=cap,
+            num_target=min(cfg.num_pts + cfg.num_pts_plane, cap),
+            klt=fklt.KltOptions(levels=4, window=10),
+            fast=ffast.FastOptions(
+                threshold=cfg.fast_threshold / 255.0,
+                grid_x=cfg.grid_x, grid_y=cfg.grid_y,
+                max_features=min(cfg.num_pts + cfg.num_pts_plane, cap),
+            ),
+            ransac=RansacOptions(),
+            histogram_method={"NONE": ip.NONE, "HISTOGRAM": ip.HISTOGRAM,
+                              "CLAHE": ip.CLAHE}.get(cfg.histogram_method.upper(), ip.NONE),
+            feat_init_min_obs=cfg.trackplane.feat_init_min_obs,
+            min_dist=cfg.trackplane.min_dist,
+            max_dist=cfg.trackplane.max_dist,
+            max_cond=cfg.trackplane.max_cond_number,
+            max_ray_rms_rel=cfg.trackplane.max_ray_rms_rel,
+            max_ray_rms_abs=cfg.trackplane.max_ray_rms_abs,
+        )
+        self.eng = eng
+        self.B = batch
+        n = max(batch, 1)
+        self.trackers = [PlaneTracker(cfg.trackplane) for _ in range(n)]
+        cap_arr = self.vopts.cap
+        self._label_ids = np.full((n, cap_arr), -1, np.int32)
+        self._label_pid = np.full((n, cap_arr), -1, np.int32)
+        Q = self.vopts.merge_slots
+        self._merge_from = np.full((n, Q), -1, np.int32)
+        self._merge_into = np.full((n, Q), -1, np.int32)
+        self.last_plane_stats = [{} for _ in range(n)]
+        self.last_tri = [None] * n
+
+        if batch:
+            self._fn = jax.jit(jax.vmap(
+                lambda st, bk, fe, img, it, iw, ia, tn, li, lp, mf, mi:
+                fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw, ia, tn,
+                                  li, lp, mf, mi)))
+        else:
+            self._fn = functools.partial(fused_vision_step, eng, self.vopts)
+
+    def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
+        return FusedFrontendState.create(self.vopts, first_id)
+
+    # ------------------------------------------------------------------
+    def _host_plane_update(self, s: int, ids, uv, valid, p3, ok3):
+        """Run the Delaunay detector for stream s on the pulled tracks and
+        refresh its label/merge arrays for the NEXT dispatch."""
+        tr = self.trackers[s]
+        ids = np.where(valid, ids, -1)
+        self.last_tri[s] = (ids, uv, p3, ok3 & valid)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        f2p, p2o = tr.update(ids, uv, p3, ok3 & valid, self._R_GtoC[s], self._p_CinG[s])
+        self._label_ids[s] = -1
+        self._label_pid[s] = -1
+        items = list(f2p.items())[: self._label_ids.shape[1]]
+        for k, (fid, pid) in enumerate(items):
+            self._label_ids[s, k] = fid
+            self._label_pid[s, k] = pid
+        Q = self._merge_from.shape[1]
+        self._merge_from[s] = -1
+        self._merge_into[s] = -1
+        k = 0
+        for into, olds in p2o.items():
+            for old in olds:
+                if k < Q:
+                    self._merge_from[s, k] = old
+                    self._merge_into[s, k] = into
+                    k += 1
+        n_pl = len(set(f2p.values()))
+        tl = None
+        self.last_plane_stats[s] = {
+            "feat/plane": (len(f2p) / n_pl) if n_pl else 0.0,
+            "num plane": float(n_pl),
+            "num constraint updates": float(len(f2p)),
+            "delaunay": tr.last_timing.get("delaunay", 0.0),
+            "matching": tr.last_timing.get("matching", 0.0),
+            "total": _t.perf_counter() - t0,
+        }
+
+    def _cam_pose_host(self, state, batch: bool):
+        """Newest-clone camera pose(s) pulled to host for the detector."""
+        from ov_plane_tpu.frontend.pipeline import np_cam_pose
+
+        if not batch:
+            slot = int(np.asarray(state.newest_clone_slot))
+            R, p = np_cam_pose(state, slot)
+            self._R_GtoC, self._p_CinG = [R], [p]
+        else:
+            qs = np.asarray(state.clones_q)
+            ps = np.asarray(state.clones_p)
+            cal = np.asarray(state.calib_cam)
+            # newest_clone_slot is an unbatched property; compute per member.
+            ct = np.asarray(state.clones_t)
+            slots = np.argmax(np.where(np.isfinite(ct), ct, -np.inf), axis=-1)
+            from ov_plane_tpu.frontend.pipeline import np_quat_2_rot
+
+            self._R_GtoC, self._p_CinG = [], []
+            for s in range(qs.shape[0]):
+                R_GtoI = np_quat_2_rot(qs[s, slots[s]])
+                R_ItoC = np_quat_2_rot(cal[s, 0:4])
+                self._R_GtoC.append(R_ItoC @ R_GtoI)
+                self._p_CinG.append(ps[s, slots[s]] - R_GtoI.T @ (R_ItoC.T @ cal[s, 4:7]))
+
+    # ------------------------------------------------------------------
+    def step_stream(self, state, bank, fev, img, imu_t, imu_w, imu_a, t_new):
+        """Single stream: one dispatch + host plane detection (1-frame lag)."""
+        import time as _t
+
+        t0 = _t.perf_counter()
+        self._cam_pose_host(state, batch=False)
+        state, bank, fev, out, pull = self._fn(
+            state, bank, fev, jnp.asarray(img, jnp.float32),
+            jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
+            jnp.asarray(t_new),
+            jnp.asarray(self._label_ids[0]), jnp.asarray(self._label_pid[0]),
+            jnp.asarray(self._merge_from[0]), jnp.asarray(self._merge_into[0]))
+        ids, uv, valid, p3, ok3, dbg = (np.asarray(x) for x in pull)
+        t1 = _t.perf_counter()
+        self.last_dbg = dbg
+        self._host_plane_update(0, ids, uv, valid, p3, ok3)
+        self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
+        return state, bank, fev, out
+
+    def step_batch(self, states, banks, fevs, imgs, imu_t, imu_w, imu_a, t_new):
+        """B streams, one vmapped dispatch. All array args carry a leading
+        [B] axis; the host runs B plane detectors on the pulled batch."""
+        import time as _t
+
+        t0 = _t.perf_counter()
+        self._cam_pose_host(states, batch=True)
+        states, banks, fevs, out, pull = self._fn(
+            states, banks, fevs, jnp.asarray(imgs, jnp.float32),
+            jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
+            jnp.asarray(t_new),
+            jnp.asarray(self._label_ids), jnp.asarray(self._label_pid),
+            jnp.asarray(self._merge_from), jnp.asarray(self._merge_into))
+        ids, uv, valid, p3, ok3, dbg = (np.asarray(x) for x in pull)
+        t1 = _t.perf_counter()
+        self.last_dbg = dbg
+        for s in range(ids.shape[0]):
+            self._host_plane_update(s, ids[s], uv[s], valid[s], p3[s], ok3[s])
+        self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
+        return states, banks, fevs, out

@@ -120,3 +120,73 @@ def sharded_knn(points_shard, active_shard, queries, k: int, axis_name: str):
     all_neg = all_neg.reshape(queries.shape[0], -1)
     neg, _ = jax.lax.top_k(all_neg, k)
     return jnp.sqrt(jnp.maximum(-neg, 0.0))
+
+
+class PersistentPlaneMap:
+    """In-loop host wrapper maintaining the device MapBlocks store during a
+    replay (run_euroc --use-planes): every frame, the frontend's triangulated
+    on-plane points are inserted (one fixed-width jitted device call), and map
+    statistics / KNN queries / cloud dumps are served from the device store.
+
+    TPU-native replacement for the reference's persistent ikd-tree plane map
+    (ROS1Visualizer.cpp:1413-1520: accumulate on-plane points with
+    downsample-on-insert across the whole run; TrackPlane.cpp:999-1058 spatial
+    queries). Voxel dedup is the downsample; the ring recycles the oldest
+    points when capacity is reached.
+    """
+
+    def __init__(self, capacity: int = 8192, voxel: float = 0.10,
+                 frame_batch: int = 128, dtype=jnp.float32):
+        self.m = MapBlocks.create(capacity, voxel, dtype)
+        self.frame_batch = frame_batch
+        self.n_inserted_total = 0
+        self._dtype = dtype
+
+    def add_frame(self, ids, p3, ok, feat_to_plane: dict) -> int:
+        """Insert this frame's triangulated on-plane points. ids [N], p3
+        [N,3], ok [N] from the whole-track triangulation; feat_to_plane maps
+        feature id -> frontend plane id. Returns points inserted."""
+        import numpy as np
+
+        ids = np.asarray(ids)
+        pl = np.asarray([feat_to_plane.get(int(i), -1) for i in ids], np.int32)
+        m = np.asarray(ok, bool) & (pl >= 0) & (ids >= 0)
+        B = self.frame_batch
+        pts = np.zeros((B, 3), np.asarray(p3).dtype)
+        pid = np.full(B, -1, np.int32)
+        msk = np.zeros(B, bool)
+        n = min(int(m.sum()), B)
+        sel = np.nonzero(m)[0][:n]
+        pts[:n] = np.asarray(p3)[sel]
+        pid[:n] = pl[sel]
+        msk[:n] = True
+        self.m, n_ins = insert(self.m, jnp.asarray(pts, self._dtype),
+                               jnp.asarray(pid), jnp.asarray(msk))
+        n_ins = int(n_ins)
+        self.n_inserted_total += n_ins
+        return n_ins
+
+    def stats(self) -> dict:
+        import numpy as np
+
+        pid = np.asarray(self.m.plane_id)
+        act = pid >= 0
+        return {
+            "n_points": int(act.sum()),
+            "n_planes": int(len(np.unique(pid[act]))),
+            "n_inserted_total": int(self.n_inserted_total),
+        }
+
+    def query(self, queries, k: int = 5, plane_filter=None):
+        """Batched KNN against the device store (TrackPlane z-test form)."""
+        q = jnp.asarray(queries, self._dtype)
+        pf = None if plane_filter is None else jnp.asarray(plane_filter, jnp.int32)
+        return knn(self.m, q, k, pf)
+
+    def cloud(self):
+        """(points [N,3], plane_id [N]) of live map points (host numpy)."""
+        import numpy as np
+
+        pid = np.asarray(self.m.plane_id)
+        act = pid >= 0
+        return np.asarray(self.m.points)[act], pid[act]

@@ -141,6 +141,12 @@ def main():
                          "ERROR/SILENT; default comes from the config YAML)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
+    ap.add_argument("--map-capacity", type=int, default=8192,
+                    help="persistent device plane-map point capacity (--use-planes)")
+    ap.add_argument("--map-voxel", type=float, default=0.10,
+                    help="persistent-map downsample voxel (m)")
+    ap.add_argument("--map-out", default="",
+                    help="write the final persistent-map cloud (npz: points, plane_id)")
     ap.add_argument("--downsample", type=int, default=1, help="process every Nth frame")
     ap.add_argument("--no-gt-init", action="store_true",
                     help="ignore groundtruth for initialization (still used for ATE)")
@@ -252,6 +258,14 @@ def main():
     bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
     rec = eio.TimingRecorder()
     prec = eio.PlaneStatsRecorder()
+    # Persistent device plane map (config 4; ROS1Visualizer.cpp:1413-1520):
+    # maintained in-loop from the frontend's triangulated on-plane points.
+    pmap = None
+    if args.use_planes:
+        from ov_plane_tpu.frontend.map_blocks import PersistentPlaneMap
+
+        pmap = PersistentPlaneMap(capacity=args.map_capacity, voxel=args.map_voxel,
+                                  frame_batch=pipe.fe.cap)
 
     # ----- initialization --------------------------------------------------
     state = None
@@ -466,6 +480,9 @@ def main():
         t2 = time.perf_counter()
         rec.add(t, {"tracking": t1 - t0, "total": t2 - t0})
         pstats = dict(pipe.last_plane_stats)
+        if pmap is not None and pipe.last_tri is not None:
+            lids_m, _, lp3_m, lok_m = pipe.last_tri
+            pmap.add_frame(lids_m, lp3_m, lok_m, pipe.fe.plane_tracker.feat_to_plane)
         pstats["state planes"] = float(out.n_planes)
         if out.n_plane_constraints is not None:
             pstats["num constraint updates"] = float(out.n_plane_constraints)
@@ -513,8 +530,9 @@ def main():
         if args.viz_dir and n_done % 25 == 0:
             _save_viz_images(args.viz_dir, n_done, img, pipe.fe)
         if n_done % 50 == 0:
+            mstat = f", map={pmap.stats()['n_points']}pts" if pmap is not None else ""
             print(f"[euroc] {n_done} frames, t={t:.2f}, p={np.asarray(out.p).round(3)}, "
-                  f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}")
+                  f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}{mstat}")
 
     frames_it.close()  # early --max-frames break leaves the producer parked otherwise
     eio.write_tum(args.out, np.asarray(times), np.asarray(poss), np.asarray(quats))
@@ -527,6 +545,14 @@ def main():
         eio.write_tum(args.odom_out, ot, o16[:, 4:7], o16[:, 0:4])
         print(f"[euroc] wrote IMU-rate odometry {args.odom_out} ({len(ot)} poses)")
     print(f"[euroc] wrote {args.out} ({n_done} frames)")
+    if pmap is not None:
+        st = pmap.stats()
+        print(f"[euroc] persistent map: {st['n_points']} pts / {st['n_planes']} planes "
+              f"({st['n_inserted_total']} inserted, voxel {args.map_voxel} m)")
+        if args.map_out:
+            pts_m, pid_m = pmap.cloud()
+            np.savez(args.map_out, points=pts_m, plane_id=pid_m)
+            print(f"[euroc] wrote map cloud {args.map_out}")
 
     if have_gt and n_done > 10:
         t_gt, p_gt, q_gt, *_ = eio.read_euroc_gt(gt_path)

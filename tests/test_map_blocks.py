@@ -76,3 +76,52 @@ def test_sharded_knn_matches_single_device():
     for i in range(len(q)):
         brute = np.sort(np.linalg.norm(pts[active] - q[i], axis=1))[:k]
         np.testing.assert_allclose(d_sh[i], brute, atol=1e-9)
+
+
+def test_persistent_map_inloop_insert_query_recycle():
+    """In-loop maintenance (run_euroc --use-planes wiring): frames of
+    triangulated on-plane points stream in, dedup on voxels, serve KNN, and
+    recycle the oldest slots at capacity."""
+    import numpy as np
+
+    from ov_plane_tpu.frontend.map_blocks import PersistentPlaneMap
+
+    rng = np.random.default_rng(5)
+    pm = PersistentPlaneMap(capacity=64, voxel=0.25, frame_batch=32)
+    ids = np.arange(24)
+
+    # Two walls: z=2 (plane 1), x=3 (plane 2).
+    for frame in range(12):
+        p3 = np.empty((24, 3))
+        p3[:12] = np.c_[rng.uniform(-2, 2, 12), rng.uniform(-2, 2, 12), np.full(12, 2.0)]
+        p3[12:] = np.c_[np.full(12, 3.0), rng.uniform(-2, 2, 12), rng.uniform(0, 4, 12)]
+        ok = np.ones(24, bool)
+        ok[::7] = False  # some invalid triangulations
+        f2p = {int(i): (1 if i < 12 else 2) for i in ids}
+        del f2p[3]  # an on-view feature with no plane
+        pm.add_frame(ids, p3, ok, f2p)
+
+    st = pm.stats()
+    assert st["n_planes"] == 2
+    # Voxel dedup engaged: far fewer live points than raw insert attempts.
+    assert st["n_inserted_total"] < 12 * 24
+    # Capacity ring: never exceeds capacity, and with 12 frames of fresh
+    # random points the store is saturated.
+    assert st["n_points"] == 64
+
+    # KNN serves from the device store: a query on the z=2 wall finds wall
+    # points within the voxel scale, restricted per plane.
+    d, idx = pm.query(np.array([[0.0, 0.0, 2.0], [3.0, 0.0, 2.0]]), k=3,
+                      plane_filter=np.array([1, 2], np.int32))
+    d = np.asarray(d)
+    assert np.all(np.isfinite(d)) and d.max() < 2.0
+    pts, pid = pm.cloud()
+    assert pts.shape[0] == 64 and set(np.unique(pid)) == {1, 2}
+
+    # Recycling keeps the NEWEST points: insert a distinct new batch filling
+    # more than capacity; the oldest stamps must be gone.
+    old_stamp_min = int(np.asarray(pm.m.stamp).min())
+    for frame in range(12):
+        p3 = np.c_[rng.uniform(5, 9, 24), rng.uniform(5, 9, 24), np.full(24, -1.0)]
+        pm.add_frame(ids, p3, np.ones(24, bool), {int(i): 9 for i in ids})
+    assert int(np.asarray(pm.m.stamp).min()) > old_stamp_min
