@@ -89,6 +89,52 @@ def room_scan_trajectory(duration: float = 60.0, hz: float = 100.0, seed: int = 
     return t, pos, quat
 
 
+def corridor_trajectory(duration: float = 30.0, hz: float = 100.0):
+    """Corridor walk: slow advance down a long hallway with an oscillating
+    look-around (the camera sweeps wall → wall so the side planes are seen
+    near-frontally, not at grazing angle). A differently-shaped world than
+    the room scan: the traj bbox is elongated, so generate_planes builds a
+    long narrow room — two big side walls + floor/ceiling strips.
+    """
+    n = int(duration * hz) + 1
+    t = np.arange(n) / hz
+    advance = 0.25 * duration                       # ~0.25 m/s walking pace
+    px = advance * (t / duration) + 0.15 * np.sin(2 * np.pi * t / 6.3)
+    py = 0.25 * np.sin(2 * np.pi * t / 8.7)
+    pz = 0.08 * np.sin(2 * np.pi * t / 4.1)
+    pos = np.stack([px, py, pz], axis=1)
+
+    # Yaw sweeps ±55° around the direction of travel; gentle pitch/roll sway
+    # keeps all IMU axes excited.
+    yaw = 0.95 * np.sin(2 * np.pi * t / 11.0)
+    pitch = 0.10 * np.sin(2 * np.pi * t / 5.3)
+    roll = 0.08 * np.sin(2 * np.pi * t / 3.9 + 0.8)
+
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    R_ItoG = np.zeros((n, 3, 3))
+    R_ItoG[:, 0, 0] = cz * cy
+    R_ItoG[:, 0, 1] = cz * sy * sx - sz * cx
+    R_ItoG[:, 0, 2] = cz * sy * cx + sz * sx
+    R_ItoG[:, 1, 0] = sz * cy
+    R_ItoG[:, 1, 1] = sz * sy * sx + cz * cx
+    R_ItoG[:, 1, 2] = sz * sy * cx - cz * sx
+    R_ItoG[:, 2, 0] = -sy
+    R_ItoG[:, 2, 1] = cy * sx
+    R_ItoG[:, 2, 2] = cy * cx
+    R_GtoI = R_ItoG.transpose(0, 2, 1)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.ops.quat import rot_2_quat
+
+    quat = np.asarray(jax.vmap(rot_2_quat)(jnp.asarray(R_GtoI)))
+    pos[:, 2] -= pos[:, 2].mean()
+    return t, pos, quat
+
+
 def get_trajectory(cfg_sim):
     """Resolve the configured trajectory source; fall back to the procedural
     room scan when the configured path is absent (reference configs point at
@@ -106,6 +152,11 @@ def get_trajectory(cfg_sim):
             if keep.sum() >= 8:
                 times, pos, quat = times[keep], pos[keep], quat[keep]
         return times, pos, quat
+    off = np.asarray(getattr(cfg_sim, "world_offset", (0.0, 0.0, 0.0)), float)
     if cfg_sim.traj_kind == "slow_scan":
-        return room_scan_trajectory(duration=cfg_sim.traj_duration, time_dilation=3.0)
-    return room_scan_trajectory(duration=cfg_sim.traj_duration)
+        t, p, q = room_scan_trajectory(duration=cfg_sim.traj_duration, time_dilation=3.0)
+    elif cfg_sim.traj_kind == "corridor":
+        t, p, q = corridor_trajectory(duration=cfg_sim.traj_duration)
+    else:
+        t, p, q = room_scan_trajectory(duration=cfg_sim.traj_duration)
+    return t, p + off[None, :], q

@@ -171,6 +171,11 @@ class SimOptions:
     # Procedural trajectory fallback knobs (no reference analogue).
     traj_duration: float = 60.0
     traj_kind: str = "room_scan"
+    # Rigid world translation applied to the procedural trajectory (the
+    # planes follow via the traj bbox): places the scene away from the world
+    # origin like the reference's datasets, which changes the raw-coordinate
+    # conditioning the plane-fit gate measures (PlaneFitting.cpp:59-66).
+    world_offset: tuple = (0.0, 0.0, 0.0)
 
 
 @dataclass

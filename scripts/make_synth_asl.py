@@ -66,10 +66,17 @@ def main():
                          "--textured mode: FAST then detects on the "
                          "world-anchored plane texture itself (the regime "
                          "where image-driven CP plane init fires)")
+    ap.add_argument("--traj-kind", default="room_scan",
+                    help="procedural trajectory: room_scan | slow_scan | corridor")
+    ap.add_argument("--world-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                    help="rigid world translation (scene away from the origin, "
+                         "reference-dataset-like raw coordinates)")
     args = ap.parse_args()
 
     cfg = sim_config()
     cfg.sim.traj_duration = args.duration
+    cfg.sim.traj_kind = args.traj_kind
+    cfg.sim.world_offset = tuple(args.world_offset)
     cfg.num_pts = args.num_pts
     cfg.num_pts_plane = args.num_pts_plane
     cfg.sim.freq_cam = args.freq_cam

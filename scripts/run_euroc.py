@@ -157,6 +157,11 @@ def main():
                     help="use the simulator's camera calibration (for ASL folders "
                          "exported by scripts/make_synth_asl.py) and disable "
                          "histogram preprocessing (synthetic frames are clean)")
+    ap.add_argument("--stock-plane-gates", action="store_true",
+                    help="with --sim-calib --use-planes: keep the reference's "
+                         "DEFAULT plane gates (cond<=50, min_norms, averaging "
+                         "variance) instead of the synthetic-room protocol "
+                         "overrides — the second-scene validation mode")
     ap.add_argument("--track-cap", type=int, default=0,
                     help="override the tracker capacity (num_pts). Low caps "
                          "(e.g. 40) emulate texture-poor scenes — the regime "
@@ -182,7 +187,11 @@ def main():
         # for OpenCV KLT on real texture); whiten accordingly.
         cfg.msckf_options.sigma_pix = 2.0
         cfg.slam_options.sigma_pix = 2.0
-        if args.use_planes:
+        # --stock-plane-gates (second-scene validation, VERDICT round-2
+        # weak #5): every plane gate stays at the reference default
+        # (cond<=50, min_feat 10, min_norms 5, avg 20/20); only the
+        # renderer-noise whitening above (a calibration fact) is applied.
+        if args.use_planes and not args.stock_plane_gates:
             # Plane-clustering gates tuned for the synthetic close-range
             # room (same values the image-driven plane e2e validates): the
             # triangulated-normal noise at this feature density needs the
