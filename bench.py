@@ -207,21 +207,21 @@ def main_vision():
                 t_steady = time.time()
             it, iw, ia = imu_window(i)
             tn = float(sim.cam_t_imu[i])
+            # Counters come from the driver's packed pull (reading them off
+            # `out` would cost one ~30 ms relay round trip EACH).
             if Bv > 1:
                 imgs = np.clip(frames[i - 1][None] + img_noise, 0.0, 1.0)
                 state, bank, fev, out = drv.step_batch(
                     state, bank, fev, imgs, np.tile(it, (Bv, 1)),
                     np.tile(iw, (Bv, 1, 1)), np.tile(ia, (Bv, 1, 1)),
                     np.full(Bv, tn))
-                n_init += int(np.sum(np.asarray(out.n_plane_init)))
-                n_constr += int(np.sum(np.asarray(out.n_plane_constraints)))
-                max_planes = max(max_planes, int(np.max(np.asarray(out.n_planes))))
             else:
                 state, bank, fev, out = drv.step_stream(
                     state, bank, fev, frames[i - 1], it, iw, ia, tn)
-                n_init += int(out.n_plane_init)
-                n_constr += int(out.n_plane_constraints)
-                max_planes = max(max_planes, int(out.n_planes))
+            cnt = drv.last_counters
+            n_init += int(cnt[:, 0].sum())
+            n_constr += int(cnt[:, 1].sum())
+            max_planes = max(max_planes, int(cnt[:, 2].max()))
             if i > WARMUP:
                 stage_dev.append(drv.last_times["device"])
                 stage_plane.append(drv.last_times["host_plane"])

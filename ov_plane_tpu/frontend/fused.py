@@ -293,10 +293,49 @@ def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
 
     fev = fev.replace(pyr=pyr, ids=ids, uv=uv, valid=valid,
                       next_id=fev.next_id + n_new, has_prev=jnp.asarray(True))
-    dbg = jnp.stack([jnp.sum(track_mask), jnp.sum(ok), jnp.sum(inl & track_mask),
-                     jnp.sum(new_ok), n_needed, n_new]).astype(jnp.int32)
-    pull = (ids, uv, valid, p3, ok3, dbg)
+    # Host pull PACKED into one array: each device->host transfer costs a
+    # full relay round trip (~30 ms measured through the axon tunnel), so the
+    # per-frame host data — track table, triangulations, step counters,
+    # debug counters — ships as ONE [cap+1, 8] f32 array (~2 kB, 1 RTT).
+    rows = jnp.concatenate([
+        ids[:, None].astype(jnp.float32),
+        uv,
+        valid[:, None].astype(jnp.float32),
+        p3,
+        ok3[:, None].astype(jnp.float32),
+    ], axis=1)                                     # [cap, 8]
+    counters = jnp.stack([
+        out.n_plane_init.astype(jnp.float32),
+        out.n_plane_constraints.astype(jnp.float32),
+        out.n_planes.astype(jnp.float32),
+        out.n_msckf_used.astype(jnp.float32),
+        out.n_bank.astype(jnp.float32),
+        jnp.sum(track_mask).astype(jnp.float32),
+        jnp.sum(ok).astype(jnp.float32),
+        jnp.sum(new_ok).astype(jnp.float32),
+    ])
+    # The host detector also needs the camera pose the triangulations were
+    # solved at (R_prevC, p_prevC) — shipping it in the same pull saves the
+    # driver 3-4 separate state pulls (~30 ms RTT each through the tunnel).
+    pose_rows = jnp.concatenate([R_prevC.reshape(-1), p_prevC,
+                                 jnp.zeros(4, f32)]).reshape(2, 8)
+    pull = jnp.concatenate([rows, counters[None, :], pose_rows], axis=0)  # [cap+3, 8]
     return new_state, new_bank, fev, out, pull
+
+
+def _unpack(packed: "np.ndarray"):
+    """[B, cap+3, 8] packed pull →
+    (ids, uv, valid, p3, ok3, counters, R_GtoC, p_CinG)."""
+    rows, counters = packed[:, :-3], packed[:, -3]
+    pose = packed[:, -2:].reshape(packed.shape[0], 16)
+    R = pose[:, 0:9].reshape(-1, 3, 3).astype(np.float64)
+    p = pose[:, 9:12].astype(np.float64)
+    ids = rows[..., 0].astype(np.int64)
+    uv = rows[..., 1:3].astype(np.float64)
+    valid = rows[..., 3] > 0.5
+    p3 = rows[..., 4:7].astype(np.float64)
+    ok3 = rows[..., 7] > 0.5
+    return ids, uv, valid, p3, ok3, counters, R, p
 
 
 class FusedVisionDriver:
@@ -393,47 +432,24 @@ class FusedVisionDriver:
             "total": _t.perf_counter() - t0,
         }
 
-    def _cam_pose_host(self, state, batch: bool):
-        """Newest-clone camera pose(s) pulled to host for the detector."""
-        from ov_plane_tpu.frontend.pipeline import np_cam_pose
-
-        if not batch:
-            slot = int(np.asarray(state.newest_clone_slot))
-            R, p = np_cam_pose(state, slot)
-            self._R_GtoC, self._p_CinG = [R], [p]
-        else:
-            qs = np.asarray(state.clones_q)
-            ps = np.asarray(state.clones_p)
-            cal = np.asarray(state.calib_cam)
-            # newest_clone_slot is an unbatched property; compute per member.
-            ct = np.asarray(state.clones_t)
-            slots = np.argmax(np.where(np.isfinite(ct), ct, -np.inf), axis=-1)
-            from ov_plane_tpu.frontend.pipeline import np_quat_2_rot
-
-            self._R_GtoC, self._p_CinG = [], []
-            for s in range(qs.shape[0]):
-                R_GtoI = np_quat_2_rot(qs[s, slots[s]])
-                R_ItoC = np_quat_2_rot(cal[s, 0:4])
-                self._R_GtoC.append(R_ItoC @ R_GtoI)
-                self._p_CinG.append(ps[s, slots[s]] - R_GtoI.T @ (R_ItoC.T @ cal[s, 4:7]))
-
     # ------------------------------------------------------------------
     def step_stream(self, state, bank, fev, img, imu_t, imu_w, imu_a, t_new):
         """Single stream: one dispatch + host plane detection (1-frame lag)."""
         import time as _t
 
         t0 = _t.perf_counter()
-        self._cam_pose_host(state, batch=False)
         state, bank, fev, out, pull = self._fn(
             state, bank, fev, jnp.asarray(img, jnp.float32),
             jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
             jnp.asarray(t_new),
             jnp.asarray(self._label_ids[0]), jnp.asarray(self._label_pid[0]),
             jnp.asarray(self._merge_from[0]), jnp.asarray(self._merge_into[0]))
-        ids, uv, valid, p3, ok3, dbg = (np.asarray(x) for x in pull)
+        packed = np.asarray(pull)                      # ONE transfer
         t1 = _t.perf_counter()
-        self.last_dbg = dbg
-        self._host_plane_update(0, ids, uv, valid, p3, ok3)
+        (ids, uv, valid, p3, ok3, self.last_counters,
+         self._R_GtoC, self._p_CinG) = _unpack(packed[None])
+        self.last_dbg = self.last_counters[0, 5:8]
+        self._host_plane_update(0, ids[0], uv[0], valid[0], p3[0], ok3[0])
         self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
         return state, bank, fev, out
 
@@ -443,16 +459,17 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
-        self._cam_pose_host(states, batch=True)
         states, banks, fevs, out, pull = self._fn(
             states, banks, fevs, jnp.asarray(imgs, jnp.float32),
             jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
             jnp.asarray(t_new),
             jnp.asarray(self._label_ids), jnp.asarray(self._label_pid),
             jnp.asarray(self._merge_from), jnp.asarray(self._merge_into))
-        ids, uv, valid, p3, ok3, dbg = (np.asarray(x) for x in pull)
+        packed = np.asarray(pull)                      # ONE transfer
         t1 = _t.perf_counter()
-        self.last_dbg = dbg
+        (ids, uv, valid, p3, ok3, self.last_counters,
+         self._R_GtoC, self._p_CinG) = _unpack(packed)
+        self.last_dbg = self.last_counters[0, 5:8]
         for s in range(ids.shape[0]):
             self._host_plane_update(s, ids[s], uv[s], valid[s], p3[s], ok3[s])
         self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}

@@ -133,7 +133,8 @@ def _value_noise(s: np.ndarray, t: np.ndarray, cell: float, seed: int) -> np.nda
 
 
 def _speckle(s: np.ndarray, t: np.ndarray, cell: float, seed: int,
-             px_per_m: np.ndarray) -> np.ndarray:
+             px_per_m: np.ndarray = None, r_lo: float = 0.05,
+             r_hi: float = 0.15) -> np.ndarray:
     """World-anchored sparse speckle: at most one dot per (cell × cell) tile,
     present with p≈0.6, at a hash-jittered position with a hash-drawn radius
     and signed contrast. Returns a [H, W] additive intensity term.
@@ -165,7 +166,7 @@ def _speckle(s: np.ndarray, t: np.ndarray, cell: float, seed: int,
             present = hashk(ix, iy, 0) < 0.6
             cx = ix + 0.15 + 0.7 * hashk(ix, iy, 1)
             cy = iy + 0.15 + 0.7 * hashk(ix, iy, 2)
-            r = (0.05 + 0.10 * hashk(ix, iy, 3))            # radius in cells
+            r = (r_lo + (r_hi - r_lo) * hashk(ix, iy, 3))    # radius in cells
             amp = np.where(hashk(ix, iy, 4) < 0.5, -0.35, 0.35)
             d2 = (x - cx) ** 2 + (y - cy) ** 2
             # Soft-edged disk (smoothstep over ~30% of the radius).
@@ -184,7 +185,8 @@ def render_frame_textured(plane_corners: np.ndarray, plane_normal: np.ndarray,
                           zeta: np.ndarray, wh, model=cams.RADTAN,
                           texture_cell: float = 0.22, seed: int = 0,
                           feat_patch_world: float = 0.12,
-                          blobs: bool = True) -> np.ndarray:
+                          blobs: bool = True,
+                          speckle_cells: tuple = (0.15,)) -> np.ndarray:
     """Raycast render of the simulator's cuboid room with procedurally
     textured planes, plus the measurement-consistent feature blobs on top.
 
@@ -246,9 +248,14 @@ def render_frame_textured(plane_corners: np.ndarray, plane_normal: np.ndarray,
             wsum += w_o
         val = 0.18 + 0.55 * np.sum(octs, axis=0) / np.maximum(wsum, 1e-6)
         # Distinctive world-anchored speckle on top of the (self-similar)
-        # noise octaves — see _speckle.
+        # noise octaves — see _speckle. Multiple speckle scales give corner
+        # density at every viewing distance (one coarse layer alone leaves
+        # far walls corner-free — the corridor scene's failure mode).
         px_per_m = f_px / np.maximum(t_hit, 0.05)
-        val = val + _speckle(s_c, t_c, 0.15, seed + 29 * p + 5, px_per_m)
+        for si, sc in enumerate(speckle_cells):
+            cell_s, r_lo, r_hi = (sc, 0.05, 0.15) if np.isscalar(sc) else sc
+            val = val + _speckle(s_c, t_c, cell_s, seed + 29 * p + 5 + 17 * si,
+                                 r_lo=r_lo, r_hi=r_hi, px_per_m=px_per_m)
         val = np.clip(val, 0.02, 1.0)
         best_t = np.where(hit, t_hit, best_t)
         tex = np.where(hit, val.astype(np.float32), tex)

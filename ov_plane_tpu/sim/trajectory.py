@@ -104,9 +104,12 @@ def corridor_trajectory(duration: float = 30.0, hz: float = 100.0):
     pz = 0.08 * np.sin(2 * np.pi * t / 4.1)
     pos = np.stack([px, py, pz], axis=1)
 
-    # Yaw sweeps ±55° around the direction of travel; gentle pitch/roll sway
-    # keeps all IMU axes excited.
-    yaw = 0.95 * np.sin(2 * np.pi * t / 11.0)
+    # Yaw sweeps 26°-80° off the corridor axis (a walking sideways-glance at
+    # the left wall): looking straight DOWN the corridor puts both walls at
+    # grazing angle and the (distant) end wall carries no resolvable texture
+    # — measured to starve KLT and diverge the filter at the yaw≈0 crossing.
+    # Gentle pitch/roll sway keeps all IMU axes excited.
+    yaw = 0.93 + 0.47 * np.sin(2 * np.pi * t / 9.0)
     pitch = 0.10 * np.sin(2 * np.pi * t / 5.3)
     roll = 0.08 * np.sin(2 * np.pi * t / 3.9 + 0.8)
 

@@ -66,6 +66,15 @@ def main():
                          "--textured mode: FAST then detects on the "
                          "world-anchored plane texture itself (the regime "
                          "where image-driven CP plane init fires)")
+    ap.add_argument("--speckle-cells", nargs="+", default=["0.15"],
+                    help="speckle layers, each 'cell' or 'cell:r_lo:r_hi' "
+                         "(m, radii in cells); add a finer sharp layer "
+                         "(e.g. 0.15 0.07:0.12:0.30) for corner density on "
+                         "distant/oblique walls")
+    ap.add_argument("--texture-cell", type=float, default=0.22,
+                    help="world-space texture cell size (m) of the procedural "
+                         "wall texture; smaller = finer texture = more FAST "
+                         "corners at range")
     ap.add_argument("--traj-kind", default="room_scan",
                     help="procedural trajectory: room_scan | slow_scan | corridor")
     ap.add_argument("--world-offset", type=float, nargs=3, default=(0.0, 0.0, 0.0),
@@ -115,6 +124,10 @@ def main():
                 img = render_frame_textured(
                     planes.corners, planes.normal, planes.d, feat_p, R,
                     np.asarray(sim.gt_p[k]), R_ItoC, p_IinC, zeta, cfg.cam_wh,
+                    texture_cell=args.texture_cell,
+                    speckle_cells=tuple(
+                        float(sc) if ":" not in sc else tuple(float(v) for v in sc.split(":"))
+                        for sc in args.speckle_cells),
                     blobs=args.blobs)
             else:
                 img = render_frame(feat_p, R, np.asarray(sim.gt_p[k]), R_ItoC, p_IinC,

@@ -157,6 +157,10 @@ def main():
                     help="use the simulator's camera calibration (for ASL folders "
                          "exported by scripts/make_synth_asl.py) and disable "
                          "histogram preprocessing (synthetic frames are clean)")
+    ap.add_argument("--fast-threshold", type=float, default=0.0,
+                    help="override the FAST detector threshold (0-255 scale); "
+                         "a dataset-level knob the reference also varies per "
+                         "dataset (sim 15, euroc 30)")
     ap.add_argument("--stock-plane-gates", action="store_true",
                     help="with --sim-calib --use-planes: keep the reference's "
                          "DEFAULT plane gates (cond<=50, min_norms, averaging "
@@ -214,6 +218,8 @@ def main():
             cfg.state.plane_msckf_max_cond = 150.0
     if args.config:
         cfg = load_yaml(args.config, base=cfg)
+    if args.fast_threshold > 0:
+        cfg.fast_threshold = args.fast_threshold
     if args.track_cap > 0:
         cfg.num_pts = args.track_cap
         cfg.tpu.max_obs_per_frame = max(2 * args.track_cap, 32)
