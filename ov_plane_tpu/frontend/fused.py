@@ -124,6 +124,29 @@ def _inv3(A, ridge):
     return adj / det[..., None, None]
 
 
+def _eigvals3_sym(A):
+    """Closed-form eigenvalues of symmetric [...,3,3] (Smith's trigonometric
+    method), descending. Avoids the eigh custom call — pure VPU math that
+    vmaps/fuses like any elementwise op."""
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    A01, A02, A12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    p1 = A01**2 + A02**2 + A12**2
+    dq0, dq1, dq2 = A[..., 0, 0] - q, A[..., 1, 1] - q, A[..., 2, 2] - q
+    p2 = dq0**2 + dq1**2 + dq2**2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    Bm = (A - q[..., None, None] * jnp.eye(3, dtype=A.dtype)) / p[..., None, None]
+    detB = (Bm[..., 0, 0] * (Bm[..., 1, 1] * Bm[..., 2, 2] - Bm[..., 1, 2] * Bm[..., 2, 1])
+            - Bm[..., 0, 1] * (Bm[..., 1, 0] * Bm[..., 2, 2] - Bm[..., 1, 2] * Bm[..., 2, 0])
+            + Bm[..., 0, 2] * (Bm[..., 1, 0] * Bm[..., 2, 1] - Bm[..., 1, 1] * Bm[..., 2, 0]))
+    phi = jnp.arccos(jnp.clip(detB / 2.0, -1.0, 1.0)) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    # p2≈0: A is (near) a multiple of the identity.
+    iso = p2 < 1e-24
+    return (jnp.where(iso, q, e1), jnp.where(iso, q, e2), jnp.where(iso, q, e3))
+
+
 def _solve_tracks(fev: FusedFrontendState, vopts: FusedVisionOptions, R_GtoC, p_CinG):
     """Device port of pipeline.solve_track_triangulations (same math+gates)."""
     enough = fev.valid & (fev.tri_n >= vopts.feat_init_min_obs)
@@ -131,9 +154,9 @@ def _solve_tracks(fev: FusedFrontendState, vopts: FusedVisionOptions, R_GtoC, p_
     ridge = ridge + jnp.where(enough, 0.0, 1.0)
     Ainv = _inv3(fev.tri_A, ridge)
     p3 = jnp.einsum("nij,nj->ni", Ainv, fev.tri_b)
-    # tri_A is symmetric PSD: condition from eigenvalues.
-    ev = jnp.linalg.eigvalsh(fev.tri_A)
-    cond = ev[:, 2] / jnp.maximum(ev[:, 0], 1e-18)
+    # tri_A is symmetric PSD: condition from closed-form eigenvalues.
+    e1, _, e3 = _eigvals3_sym(fev.tri_A)
+    cond = e1 / jnp.maximum(e3, 1e-18)
     depth = (p3 - p_CinG[None, :]) @ R_GtoC[2]
     quad = (jnp.einsum("ni,nij,nj->n", p3, fev.tri_A, p3)
             - 2.0 * jnp.einsum("ni,ni->n", p3, fev.tri_b) + fev.tri_c)
@@ -354,7 +377,11 @@ class FusedVisionDriver:
             h=cfg.cam_wh[1], w=cfg.cam_wh[0],
             cap=cap,
             num_target=min(cfg.num_pts + cfg.num_pts_plane, cap),
-            klt=fklt.KltOptions(levels=4, window=10),
+            # Reference LK geometry (TrackPlane.h:231-232): 15x15 window,
+            # 5 levels; 8 prior-seeded iterations. Patch gathers are the
+            # fused program's dominant device cost — the 21x21 window ran
+            # 2.1x more gather volume than the reference's own setting.
+            klt=fklt.KltOptions(levels=5, window=7, iters=8),
             fast=ffast.FastOptions(
                 threshold=cfg.fast_threshold / 255.0,
                 grid_x=cfg.grid_x, grid_y=cfg.grid_y,

@@ -150,7 +150,10 @@ class VisionPipeline:
     def __init__(self, cfg: VioConfig, eng: VioEngine):
         self.cfg = cfg
         self.eng = eng
-        self.klt_opts = fklt.KltOptions(levels=4, window=10)
+        # Reference geometry: 15x15 LK window, 5 pyramid levels
+        # (TrackPlane.h:231-232). The predicted-pose prior starts LK near the
+        # optimum, so 8 Newton iterations replace OpenCV's 30-with-eps.
+        self.klt_opts = fklt.KltOptions(levels=5, window=7, iters=8)
         cap = max(cfg.tpu.max_obs_per_frame, cfg.num_pts + cfg.num_pts_plane)
         self.fast_opts = ffast.FastOptions(
             threshold=cfg.fast_threshold / 255.0,

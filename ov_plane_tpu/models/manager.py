@@ -127,11 +127,12 @@ class VioEngine:
         from ov_plane_tpu.models.zupt import ZuptOptions
         from ov_plane_tpu.ops.planefit import PlaneRefineOptions
 
-        # Landmark representation validation (reference behavior: all shipped
-        # configs pin GLOBAL_3D, and VioManager.cpp:823,839 asserts SLAM
-        # features are GLOBAL_3D whenever planes are enabled). The five other
-        # parameterizations live in ops/representations.py with validated
-        # Jacobians; the filter state itself runs GLOBAL_3D.
+        # Landmark representation validation. Reference behavior: every
+        # shipped config pins GLOBAL_3D, and VioManager.cpp:823,839 asserts
+        # SLAM features are GLOBAL_3D whenever planes are enabled — the same
+        # guard applies here. With planes off, both MSCKF features and SLAM
+        # landmark STATES may run any 3-dof representation (anchored SLAM
+        # states carry per-slot anchors and re-anchor on marginalization).
         from ov_plane_tpu.ops import representations as reps
 
         rep_msckf = reps.from_name(cfg.state.feat_rep_msckf)  # raises on unknown name
@@ -148,12 +149,14 @@ class VioEngine:
             raise ValueError(
                 "feat_rep_msckf must be GLOBAL_3D when plane constraints are "
                 "on (reference asserts this, VioManager.cpp:823,839)")
-        if rep_slam != reps.GLOBAL_3D:
+        if rep_slam == reps.ANCHORED_INVERSE_DEPTH_SINGLE:
             raise NotImplementedError(
-                "in-state SLAM landmarks run GLOBAL_3D (as every reference "
-                "config does; anchored SLAM states need per-slot anchor "
-                "bookkeeping + anchor changes). MSCKF features support all "
-                "3-dof representations via feat_rep_msckf.")
+                "ANCHORED_INVERSE_DEPTH_SINGLE is 1-dof and does not fit the "
+                "fixed 3-column landmark layout; use a 3-dof rep")
+        # All 3-dof SLAM representations are supported in-state: slam_p holds
+        # the rep params, anchored reps carry a per-slot anchor clone and are
+        # re-anchored before their anchor marginalizes (slam.change_anchors ≡
+        # UpdaterSLAM.cpp:684-850).
 
         lay = StateLayout(
             max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
@@ -189,7 +192,7 @@ class VioEngine:
             shard_axis=cfg.tpu.shard_axis,
         )
         so = SlamOptions(
-            jac=jac, tri=tri,
+            jac=jac._replace(rep=rep_slam), tri=tri,
             sigma_px=cfg.slam_options.sigma_pix,
             chi2_multipler=cfg.slam_options.chi2_multipler,
             sigma_c=cfg.state.sigma_constraint,
@@ -523,8 +526,20 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     bank = fb.free_rows(bank, consumed_rows)
 
     # 10. Marginalize the oldest clone if over budget; clear its obs column.
+    #     Landmarks anchored at the dying clone re-anchor FIRST
+    #     (UpdaterSLAM::change_anchors, called at VioManager.cpp:855-869).
     marg_slot = state.oldest_clone_slot
     over = state.num_clones > eng.max_clone_size
+    if eng.use_slam:
+        from ov_plane_tpu.ops import representations as _reps
+
+        if _reps.is_anchored(eng.slam_opts.jac.rep):
+            from ov_plane_tpu.models.slam import change_anchors
+
+            anch_state, _ = change_anchors(
+                state, eng.slam_opts.jac.rep, eng.prop_opts.do_fej,
+                marg_slot, state.newest_clone_slot)
+            state = jax.tree.map(lambda a, b: jnp.where(over, a, b), anch_state, state)
     state = marginalize_oldest_clone(state, eng.max_clone_size)
     bank_cleared = fb.clear_clone_column(bank, marg_slot)
     bank = jax.tree.map(lambda a, b: jnp.where(over, a, b), bank_cleared, bank)

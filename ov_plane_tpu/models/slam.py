@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from ov_plane_tpu.models import feature_bank as fb
 from ov_plane_tpu.models.jacobians import JacobianOptions, clone_set_from_state, feature_jacobian_full
 from ov_plane_tpu.ops import ekf
+from ov_plane_tpu.ops import representations as reps
+from ov_plane_tpu.ops.quat import quat_2_rot
 from ov_plane_tpu.ops.triangulation import TriangulationOptions, triangulate
 from ov_plane_tpu.state.vio_state import VioState
 from ov_plane_tpu.utils.chi2 import CHI2_095_TABLE
@@ -46,6 +48,56 @@ class SlamOptions(NamedTuple):
     use_plane_constraint_slamu: bool = False
     use_plane_constraint_slamd: bool = False
     max_init_per_frame: int = 8
+
+
+def _anchor_frames(state: VioState, slot):
+    """(current, FEJ) AnchorFrame of clone `slot` (anchor = camera frame)."""
+    R_ItoC = quat_2_rot(state.calib_cam[0:4])
+    p_IinC = state.calib_cam[4:7]
+    anc = reps.AnchorFrame(quat_2_rot(state.clones_q[slot]), state.clones_p[slot],
+                           R_ItoC, p_IinC)
+    anc_fej = reps.AnchorFrame(quat_2_rot(state.clones_q_fej[slot]),
+                               state.clones_p_fej[slot], R_ItoC, p_IinC)
+    return anc, anc_fej
+
+
+def _safe_anchor_point(p_A, dtype):
+    """Clamp a degenerate anchor-frame point (behind camera / at origin) to a
+    unit forward point so inverse-depth params stay finite; degenerate rows
+    are gated/rejected downstream (same guard as jacobians._safe_global)."""
+    ok = jnp.isfinite(p_A).all() & (p_A[2] > 1e-3) & (jnp.linalg.norm(p_A) > 1e-3)
+    return jnp.where(ok, p_A, jnp.asarray([0.0, 0.0, 1.0], dtype)), ok
+
+
+def _slam_point_global(state: VioState, rep: int, slot_l):
+    """(p_FinG, p_FinG_fej) of SLAM landmark `slot_l` from its stored
+    representation parameters (Landmark::get_xyz semantics)."""
+    params = state.slam_p[slot_l]
+    params_fej = state.slam_p_fej[slot_l]
+    if rep == reps.GLOBAL_3D:
+        return params, params_fej
+    if not reps.is_anchored(rep):
+        return (reps.point_from_params(rep, params),
+                reps.point_from_params(rep, params_fej))
+    a = state.slam_anchor_slot[slot_l]
+    anc, anc_fej = _anchor_frames(state, jnp.clip(a, 0, state.layout.max_clones - 1))
+    return (anc.point_to_global(reps.point_from_params(rep, params)),
+            anc_fej.point_to_global(reps.point_from_params(rep, params_fej)))
+
+
+def _inv3(A):
+    """Closed-form 3x3 inverse (no LU — TPU f64-safe)."""
+    c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+    c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+    c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+    det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([c00, A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2], A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]]),
+        jnp.stack([c01, A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0], A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]]),
+        jnp.stack([c02, A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1], A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]]),
+    ])
+    return adj / det
 
 
 def _plane_lookup(state: VioState, planeid):
@@ -96,9 +148,24 @@ def slam_delayed_init(state: VioState, bank: fb.FeatureBank, opts: SlamOptions,
         in_state, pslot, cp, cp_fej = _plane_lookup(st, planeid)
         use_plane = in_state & (planeid >= 0) & jnp.asarray(opts.use_plane_constraint_slamd)
 
+        # Anchored reps anchor at the newest clone (ov_core: the feature's
+        # last observation). Representation params of the triangulated point.
+        rep = opts.jac.rep
+        anchor = st.newest_clone_slot.astype(jnp.int32)
+        if rep == reps.GLOBAL_3D:
+            params0 = p_f
+        elif not reps.is_anchored(rep):
+            params0 = reps.params_from_point(rep, p_f)
+        else:
+            anc0, _ = _anchor_frames(st, anchor)
+            p_A, a_ok = _safe_anchor_point(anc0.point_to_anchor(p_f), dtype)
+            params0 = reps.params_from_point(rep, p_A)
+            valid = valid & a_ok
+
         H_x, H_f, res, rmask = feature_jacobian_full(
             lay, opts.jac, clone_set_from_state(st), uv, mask, p_f, p_f, cp, cp_fej,
             use_plane, in_state, pslot, opts.sigma_px, opts.sigma_c,
+            anchor_slot=anchor,
         )
         vf = valid.astype(dtype)
         H_x, H_f, res = H_x * vf, H_f * vf, res * vf
@@ -120,13 +187,16 @@ def slam_delayed_init(state: VioState, bank: fb.FeatureBank, opts: SlamOptions,
         new_cov, dx_new = ekf.initialize_invertible(
             st, slot_col, HR_i, HL_i, jnp.ones((3,), dtype), res_i
         )
-        p_init = p_f + dx_new
+        # dx_new lives in the representation's error space: add to params.
+        p_init = params0 + dx_new
         st_new = st.replace(
             cov=new_cov,
             slam_p=st.slam_p.at[slot].set(p_init),
             slam_p_fej=st.slam_p_fej.at[slot].set(p_init),
             slam_id=st.slam_id.at[slot].set(bk.fid[row]),
             slam_active=st.slam_active.at[slot].set(True),
+            slam_anchor_slot=st.slam_anchor_slot.at[slot].set(
+                anchor if reps.is_anchored(rep) else jnp.int32(-1)),
         )
         # Leftover-rows EKF update.
         st_upd, _ = ekf.ekf_update(st_new, HR_u, res_u, jnp.ones_like(res_u))
@@ -172,8 +242,7 @@ def slam_update(state: VioState, bank: fb.FeatureBank, opts: SlamOptions, cur_sl
         # Only the newest observation contributes (older ones were consumed).
         obs_mask = jnp.zeros((K,), bool).at[cur_slot].set(active)
         uv = bank.uv[row]
-        p_l = state.slam_p[slot_l]
-        p_l_fej = state.slam_p_fej[slot_l]
+        p_l, p_l_fej = _slam_point_global(state, opts.jac.rep, slot_l)
         planeid = bank.planeid[row]
         in_state, pslot, cp, cp_fej = _plane_lookup(state, planeid)
         use_plane = in_state & (planeid >= 0) & jnp.asarray(opts.use_plane_constraint_slamu)
@@ -181,6 +250,7 @@ def slam_update(state: VioState, bank: fb.FeatureBank, opts: SlamOptions, cur_sl
         H_x, H_f, res, rmask = feature_jacobian_full(
             lay, opts.jac, clones, uv, obs_mask, p_l, p_l_fej, cp, cp_fej,
             use_plane, in_state, pslot, opts.sigma_px, opts.sigma_c,
+            anchor_slot=jnp.clip(state.slam_anchor_slot[slot_l], 0, K - 1),
         )
         # Landmark columns: H_f point part goes into the slam slot's columns.
         col = lay.slam_base + 3 * slot_l
@@ -243,4 +313,81 @@ def marginalize_lost_slam(state: VioState, bank: fb.FeatureBank):
         cov=cov,
         slam_active=state.slam_active & ~lost,
         slam_id=jnp.where(lost, -1, state.slam_id),
+        slam_anchor_slot=jnp.where(lost, -1, state.slam_anchor_slot),
     ), jnp.sum(lost)
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "do_fej"))
+def change_anchors(state: VioState, rep: int, do_fej: bool, marg_slot, new_slot):
+    """Re-anchor landmarks anchored at the about-to-be-marginalized clone
+    (UpdaterSLAM::change_anchors / perform_anchor_change,
+    UpdaterSLAM.cpp:684-850).
+
+    For each affected landmark the parameters are re-expressed in the newest
+    clone's camera frame and the covariance is transformed with the exact
+    error-state Jacobian of the re-anchoring map: from the invariance of the
+    global point, δf_new = Hf_new⁻¹ (Hf_old δf_old + Ha_old δa_old − Ha_new
+    δa_new), where Hf/Ha are the representation Jacobians (d p_G / d params,
+    d p_G / d anchor-clone error) on each side — the same quantities the
+    reference assembles at :757-835. Applied as one sandwich P ← E P Eᵀ with
+    E = I except the affected landmark rows. Returns (state, n_changed).
+    """
+    lay = state.layout
+    L = lay.max_slam
+    D = lay.dim
+    dtype = state.imu.dtype
+    need = state.slam_active & (state.slam_anchor_slot == marg_slot)
+
+    anc_old, anc_old_fej = _anchor_frames(state, marg_slot)
+    anc_new, anc_new_fej = _anchor_frames(state, new_slot)
+
+    def per_landmark(slot_l):
+        p_G, p_G_fej = _slam_point_global(state, rep, slot_l)
+        # New parameters (current and FEJ values re-expressed in the new anchor).
+        p_A, ok1 = _safe_anchor_point(anc_new.point_to_anchor(p_G), dtype)
+        p_A_fej, ok2 = _safe_anchor_point(anc_new_fej.point_to_anchor(p_G_fej), dtype)
+        new_params = reps.params_from_point(rep, p_A)
+        new_params_fej = reps.params_from_point(rep, p_A_fej)
+        # Error-state Jacobians of both parameterizations of the same point.
+        rj_old = reps.rep_jacobians(rep, p_G, p_G_fej, anc_old, anc_old_fej, fej=do_fej)
+        rj_new = reps.rep_jacobians(rep, p_G, p_G_fej, anc_new, anc_new_fej, fej=do_fej)
+        Hf_new_inv = _inv3(rj_new.H_f)
+        Jl = Hf_new_inv @ rj_old.H_f              # [3,3] d f_new / d f_old
+        Jao = Hf_new_inv @ rj_old.H_anchor        # [3,6] d f_new / d a_old
+        Jan = -Hf_new_inv @ rj_new.H_anchor       # [3,6] d f_new / d a_new
+        ok = ok1 & ok2 & jnp.isfinite(Jl).all() & jnp.isfinite(Jao).all() & jnp.isfinite(Jan).all()
+        return new_params, new_params_fej, Jl, Jao, Jan, ok
+
+    new_p, new_pf, Jl, Jao, Jan, j_ok = jax.vmap(per_landmark)(jnp.arange(L))
+    do = need & j_ok
+
+    # E = I with the affected landmark rows rewritten.
+    col_old = lay.clone_base + 6 * marg_slot
+    col_new = lay.clone_base + 6 * new_slot
+    E = jnp.eye(D, dtype=dtype)
+
+    def write_one(l, Em):
+        r = lay.slam_base + 3 * l
+        z = jnp.zeros((), jnp.int32)
+        sel = do[l]
+        blk_l = jnp.where(sel, Jl[l], jnp.eye(3, dtype=dtype))
+        Em = jax.lax.dynamic_update_slice(Em, blk_l, (jnp.int32(r), jnp.int32(r)))
+        cur_o = jax.lax.dynamic_slice(Em, (jnp.int32(r), col_old.astype(jnp.int32)), (3, 6))
+        Em = jax.lax.dynamic_update_slice(
+            Em, jnp.where(sel, Jao[l], cur_o), (jnp.int32(r), col_old.astype(jnp.int32)))
+        cur_n = jax.lax.dynamic_slice(Em, (jnp.int32(r), col_new.astype(jnp.int32)), (3, 6))
+        Em = jax.lax.dynamic_update_slice(
+            Em, jnp.where(sel, Jan[l], cur_n), (jnp.int32(r), col_new.astype(jnp.int32)))
+        return Em
+
+    E = jax.lax.fori_loop(0, L, write_one, E)
+    any_change = jnp.any(do)
+    cov_new = E @ state.cov @ E.T
+    cov_new = 0.5 * (cov_new + cov_new.T)
+    new_state = state.replace(
+        cov=jnp.where(any_change, cov_new, state.cov),
+        slam_p=jnp.where(do[:, None], new_p, state.slam_p),
+        slam_p_fej=jnp.where(do[:, None], new_pf, state.slam_p_fej),
+        slam_anchor_slot=jnp.where(do, new_slot.astype(jnp.int32), state.slam_anchor_slot),
+    )
+    return new_state, jnp.sum(do)

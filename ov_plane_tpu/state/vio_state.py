@@ -58,11 +58,14 @@ class VioState:
     clones_p_fej: jnp.ndarray = None
     clones_t: jnp.ndarray = None     # [K]
 
-    # SLAM point landmarks: [L] slots (GLOBAL_3D representation).
+    # SLAM point landmarks: [L] slots. slam_p holds the landmark's
+    # REPRESENTATION PARAMETERS (= the global xyz for GLOBAL_3D; anchored
+    # reps store anchor-frame params with the anchor clone slot recorded).
     slam_p: jnp.ndarray = None       # [L, 3]
     slam_p_fej: jnp.ndarray = None
     slam_id: jnp.ndarray = None      # [L] int32, feature id (-1 = free)
     slam_active: jnp.ndarray = None  # [L] bool
+    slam_anchor_slot: jnp.ndarray = None  # [L] int32 clone slot (-1 = global rep)
 
     # CP plane landmarks: [P] slots.
     plane_cp: jnp.ndarray = None      # [P, 3]
@@ -99,6 +102,7 @@ class VioState:
             slam_p_fej=jnp.zeros((L, 3), dtype),
             slam_id=jnp.full((L,), -1, jnp.int32),
             slam_active=jnp.zeros((L,), bool),
+            slam_anchor_slot=jnp.full((L,), -1, jnp.int32),
             plane_cp=jnp.zeros((P, 3), dtype),
             plane_cp_fej=jnp.zeros((P, 3), dtype),
             plane_id=jnp.full((P,), -1, jnp.int32),
