@@ -28,6 +28,7 @@ pulled batch. See ``FusedVisionDriver.step_batch``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -381,7 +382,12 @@ class FusedVisionDriver:
             # 5 levels; 8 prior-seeded iterations. Patch gathers are the
             # fused program's dominant device cost — the 21x21 window ran
             # 2.1x more gather volume than the reference's own setting.
-            klt=fklt.KltOptions(levels=5, window=7, iters=8),
+            # OVP_KLT_FB=0 selects forward-only LK (the reference's own
+            # dataflow; outliers go to the gyro RANSAC) — an A/B knob while
+            # the fb gate's quality margin is being characterized.
+            klt=fklt.KltOptions(
+                levels=5, window=7, iters=8,
+                fb_check=os.environ.get("OVP_KLT_FB", "1") == "1"),
             fast=ffast.FastOptions(
                 threshold=cfg.fast_threshold / 255.0,
                 grid_x=cfg.grid_x, grid_y=cfg.grid_y,
@@ -460,8 +466,19 @@ class FusedVisionDriver:
         }
 
     # ------------------------------------------------------------------
-    def step_stream(self, state, bank, fev, img, imu_t, imu_w, imu_a, t_new):
-        """Single stream: one dispatch + host plane detection (1-frame lag)."""
+    def step_stream(self, state, bank, fev, img, imu_t, imu_w, imu_a, t_new,
+                    pipelined: bool = True):
+        """Single stream: one dispatch + host plane detection.
+
+        pipelined=True (default) overlaps frame k's device→host pull with
+        frame k+1's device execution: the dispatch returns immediately (JAX
+        async), the PREVIOUS frame's pull is materialized while the device
+        runs, and its plane labels feed the NEXT dispatch. Labels then lag by
+        TWO frames instead of the reference's one (TrackPlane detects on the
+        previous image) — plane ids are stable across frames, and the ~30 ms
+        tunnel RTT comes off the critical path entirely.
+        pipelined=False reproduces the 1-frame-lag synchronous dataflow.
+        """
         import time as _t
 
         t0 = _t.perf_counter()
@@ -471,6 +488,15 @@ class FusedVisionDriver:
             jnp.asarray(t_new),
             jnp.asarray(self._label_ids[0]), jnp.asarray(self._label_pid[0]),
             jnp.asarray(self._merge_from[0]), jnp.asarray(self._merge_into[0]))
+        if pipelined:
+            prev = self._pending_pull if hasattr(self, "_pending_pull") else None
+            self._pending_pull = pull                 # materialized next step
+            if prev is None:
+                self.last_times = {"device": _t.perf_counter() - t0, "host_plane": 0.0}
+                self.last_counters = np.zeros((1, 8), np.float32)
+                self.last_dbg = self.last_counters[0, 5:8]
+                return state, bank, fev, out
+            pull = prev
         packed = np.asarray(pull)                      # ONE transfer
         t1 = _t.perf_counter()
         (ids, uv, valid, p3, ok3, self.last_counters,
@@ -480,9 +506,28 @@ class FusedVisionDriver:
         self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
         return state, bank, fev, out
 
-    def step_batch(self, states, banks, fevs, imgs, imu_t, imu_w, imu_a, t_new):
+    def flush_stream(self, pipelined_tail: bool = True):
+        """Drain the pipelined pull after the last step_stream/step_batch call
+        so the final frame's plane detection + counters are still processed."""
+        pull = getattr(self, "_pending_pull", None)
+        if pull is None:
+            return
+        self._pending_pull = None
+        packed = np.asarray(pull)
+        if packed.ndim == 2:
+            packed = packed[None]
+        (ids, uv, valid, p3, ok3, self.last_counters,
+         self._R_GtoC, self._p_CinG) = _unpack(packed)
+        if pipelined_tail:
+            for s in range(ids.shape[0]):
+                self._host_plane_update(s, ids[s], uv[s], valid[s], p3[s], ok3[s])
+
+    def step_batch(self, states, banks, fevs, imgs, imu_t, imu_w, imu_a, t_new,
+                   pipelined: bool = True):
         """B streams, one vmapped dispatch. All array args carry a leading
-        [B] axis; the host runs B plane detectors on the pulled batch."""
+        [B] axis; the host runs B plane detectors on the pulled batch.
+        pipelined: same pull/dispatch overlap as step_stream (labels lag by
+        two frames; the tunnel RTT leaves the critical path)."""
         import time as _t
 
         t0 = _t.perf_counter()
@@ -492,6 +537,15 @@ class FusedVisionDriver:
             jnp.asarray(t_new),
             jnp.asarray(self._label_ids), jnp.asarray(self._label_pid),
             jnp.asarray(self._merge_from), jnp.asarray(self._merge_into))
+        if pipelined:
+            prev = getattr(self, "_pending_pull", None)
+            self._pending_pull = pull
+            if prev is None:
+                self.last_times = {"device": _t.perf_counter() - t0, "host_plane": 0.0}
+                self.last_counters = np.zeros((self._label_ids.shape[0], 8), np.float32)
+                self.last_dbg = self.last_counters[0, 5:8]
+                return states, banks, fevs, out
+            pull = prev
         packed = np.asarray(pull)                      # ONE transfer
         t1 = _t.perf_counter()
         (ids, uv, valid, p3, ok3, self.last_counters,

@@ -30,6 +30,10 @@ class KltOptions(NamedTuple):
     # destroys the long tracks plane clustering needs.
     fb_thresh: float = 1.5    # forward-backward px gate (at level 0)
     max_err: float = 0.20     # mean abs photometric residual gate
+    # fb_check=False runs forward-only LK — the reference's own dataflow
+    # (one calcOpticalFlowPyrLK call, TrackPlane.cpp:1329; outliers go to the
+    # downstream RANSAC). Halves the tracker's sequential device chain.
+    fb_check: bool = True
 
 
 def _gauss_kernel(dtype):
@@ -224,9 +228,11 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
         return jax.vmap(one)(pts_from, flow0)
 
     p1, ok_f, err_f = run(pyr0p, grads0, pyr1p, pts0, mask, init_flow)
-    p_back, ok_b, _ = run(pyr1p, grads1, pyr0p, p1, mask, -init_flow)
-    fb = jnp.linalg.norm(p_back - pts0, axis=1)
     H, W = prep0.imgs[0].shape
     in_bounds = (p1[:, 0] >= 1) & (p1[:, 0] < W - 1) & (p1[:, 1] >= 1) & (p1[:, 1] < H - 1)
-    ok = mask & ok_f & ok_b & (fb < opts.fb_thresh) & (err_f < opts.max_err) & in_bounds
+    ok = mask & ok_f & (err_f < opts.max_err) & in_bounds
+    if opts.fb_check:
+        p_back, ok_b, _ = run(pyr1p, grads1, pyr0p, p1, mask, -init_flow)
+        fb = jnp.linalg.norm(p_back - pts0, axis=1)
+        ok = ok & ok_b & (fb < opts.fb_thresh)
     return p1, ok

@@ -178,12 +178,18 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         import os as _os
 
         if _os.environ.get("OVP_DEBUG_PLANE_INIT") == "1":
+            pn = jnp.linalg.norm(jnp.where(fvalid[:, None], p_f, 0.0), axis=1)
+            ctr = jnp.sum(jnp.where(fvalid[:, None], p_f, 0.0), axis=0) / jnp.maximum(jnp.sum(fvalid), 1)
+            spread = jnp.sqrt(jnp.sum(jnp.where(fvalid[:, None], (p_f - ctr) ** 2, 0.0))
+                              / jnp.maximum(jnp.sum(fvalid), 1))
             jax.debug.print(
                 "[pinit] plane={p} nfeat={nf} tri_ok={nt} cond={c:.1f} fit_ok={fo} "
-                "valid={v} chi2={x:.1f} thr={t:.1f} passed={pa} diag_ok={dg}",
+                "valid={v} chi2={x:.1f} thr={t:.1f} passed={pa} diag_ok={dg} "
+                "pmax={pm:.2f} ctr=({c0:.2f},{c1:.2f},{c2:.2f}) spread={sp:.2f}",
                 p=plane, nf=jnp.sum(on_plane), nt=jnp.sum(fvalid), c=cond, fo=fit_ok,
                 v=valid, x=chi2, t=opts.const_init_chi2 * table[jnp.clip(dof, 1, table.shape[0] - 1)],
-                pa=passed, dg=diag_ok)
+                pa=passed, dg=diag_ok, pm=jnp.max(pn),
+                c0=ctr[0], c1=ctr[1], c2=ctr[2], sp=spread)
 
         slot_col = lay.plane_base + 3 * slot
         new_cov, dx_new = ekf.initialize_invertible(

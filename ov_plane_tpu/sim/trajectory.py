@@ -138,6 +138,65 @@ def corridor_trajectory(duration: float = 30.0, hz: float = 100.0):
     return t, pos, quat
 
 
+def tabletop_trajectory(duration: float = 25.0, hz: float = 100.0):
+    """Table-top inspection orbit: the camera circles ~0.55 m from the scene
+    center at ~0.5 m height, pitched ~50° down so the view is dominated by the
+    horizontal surface below — the reference's AR-Table regime
+    (ov_plane README table_01-08: handheld orbits over a textured table).
+
+    Geometry rationale (second-scene validation under STOCK plane gates):
+    the reference's plane-fit condition gate acts on RAW global coordinates
+    (PlaneFitting.cpp:52-66, cond = σmax/σmin of the [N,3] point matrix), so
+    it passes when the cluster's spread is comparable to its distance from
+    the world origin. A look-down orbit centered on the origin gives
+    |p_FinG| ≈ 0.3-0.8 m with ~0.5 m spread → cond ≈ 2-10, far under the
+    stock 50 — unlike the room scan (walls 2-4 m out, cond 40-260) or the
+    corridor. Close range also keeps triangulated-normal noise ~2°, inside
+    the stock averaging gates.
+    """
+    n = int(duration * hz) + 1
+    t = np.arange(n) / hz
+    w_orb = 2 * np.pi / 11.0                        # one lap ≈ 11 s (~0.31 m/s)
+    th = w_orb * t
+    r = 0.55 + 0.05 * np.sin(2 * np.pi * t / 7.9)
+    px = r * np.cos(th)
+    py = r * np.sin(th)
+    pz = 0.52 + 0.05 * np.sin(2 * np.pi * t / 5.7)
+    pos = np.stack([px, py, pz], axis=1)
+
+    # Face the orbit center (yaw = θ + π) and pitch down ~50° with a gentle
+    # oscillation; small roll sway keeps all IMU axes excited.
+    yaw = np.unwrap(th + np.pi)
+    pitch = 0.88 + 0.10 * np.sin(2 * np.pi * t / 6.1)
+    roll = 0.08 * np.sin(2 * np.pi * t / 4.3 + 0.6)
+
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    R_ItoG = np.zeros((n, 3, 3))
+    R_ItoG[:, 0, 0] = cz * cy
+    R_ItoG[:, 0, 1] = cz * sy * sx - sz * cx
+    R_ItoG[:, 0, 2] = cz * sy * cx + sz * sx
+    R_ItoG[:, 1, 0] = sz * cy
+    R_ItoG[:, 1, 1] = sz * sy * sx + cz * cx
+    R_ItoG[:, 1, 2] = sz * sy * cx - cz * sx
+    R_ItoG[:, 2, 0] = -sy
+    R_ItoG[:, 2, 1] = cy * sx
+    R_ItoG[:, 2, 2] = cy * cx
+    R_GtoI = R_ItoG.transpose(0, 2, 1)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.ops.quat import rot_2_quat
+
+    quat = np.asarray(jax.vmap(rot_2_quat)(jnp.asarray(R_GtoI)))
+    # NOTE: unlike the other procedural trajectories, z is NOT mean-centered:
+    # the table surface must sit ~0.5 m BELOW the origin-centered orbit so the
+    # raw-coordinate cluster stays near the origin (the cond-gate argument).
+    return t, pos, quat
+
+
 def get_trajectory(cfg_sim):
     """Resolve the configured trajectory source; fall back to the procedural
     room scan when the configured path is absent (reference configs point at
@@ -160,6 +219,8 @@ def get_trajectory(cfg_sim):
         t, p, q = room_scan_trajectory(duration=cfg_sim.traj_duration, time_dilation=3.0)
     elif cfg_sim.traj_kind == "corridor":
         t, p, q = corridor_trajectory(duration=cfg_sim.traj_duration)
+    elif cfg_sim.traj_kind == "tabletop":
+        t, p, q = tabletop_trajectory(duration=cfg_sim.traj_duration)
     else:
         t, p, q = room_scan_trajectory(duration=cfg_sim.traj_duration)
     return t, p + off[None, :], q
