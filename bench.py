@@ -4,12 +4,13 @@ Runs the config-1 milestone (point-only MSCKF on a simulated room-scan
 sequence) as a batch of Monte-Carlo instances vmapped over one chip and
 reports aggregate frames/sec.
 
-Baseline: the reference (rpng/ov_plane) runs single-threaded on CPU; its
-simulation loop processes camera frames at roughly real-time × small factor.
-BASELINE.md records the protocol; since the repository publishes no numbers
-(SURVEY.md §6), we use 100 frames/s as the reference-CPU working estimate for
-``vs_baseline`` (a desktop-CPU ov_plane sim run; to be replaced by a measured
-number when the reference can be executed).
+Baseline: the reference (rpng/ov_plane) runs single-threaded on CPU; the
+repository publishes no numbers (SURVEY.md §6) and cannot be built here
+(ROS + Ceres absent), so ``vs_baseline`` divides by a MEASURED stand-in:
+scripts/ground_baseline.py + native/refbench.cpp run the reference's
+per-frame filter workload (Eigen -O3, single thread, FeatureDatabase
+bookkeeping modeled, this bench's exact sizes and measured feature load) on
+this host — ~1700 fps. See BASELINE.md "honest reckoning".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -65,7 +66,17 @@ def _accel_device():
             continue
     return jax.devices()[0]
 
-REFERENCE_CPU_FPS = 100.0
+# Grounded round 3 (VERDICT item 8): the reference binary cannot be built
+# here (ROS + Ceres absent), so scripts/ground_baseline.py + refbench.cpp
+# measure an Eigen -O3 single-thread implementation of the reference's
+# per-frame filter workload (incl. FeatureDatabase bookkeeping) at THIS
+# bench's exact sizes and the workload's MEASURED feature load (p90 = 10
+# MSCKF features/frame) on this host: ~1700 fps. Rounds 1-2 divided by a
+# "100 fps working estimate" that was wrong by an order of magnitude — a
+# D=93/6-feature EKF lives in a CPU core's L1; see BASELINE.md round-3
+# "honest reckoning" for the full analysis and where the TPU actually wins
+# (vision path, batch serving — not tiny-EKF latency).
+REFERENCE_CPU_FPS = float(os.environ.get("BENCH_REF_FPS", "1700"))
 # MC instances vmapped on the chip. 64 is the validated sweet spot on one
 # v5e: batch 128 of the genuinely-batched program (post per-member noise)
 # faults the remote device ("TPU device error"), 64 runs clean.

@@ -347,6 +347,57 @@ def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
     return new_state, new_bank, fev, out, pull
 
 
+def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
+                 t_new, label_ids, label_pid, merge_from, merge_into):
+    """Pack one frame's inputs into a single [h+2, w] f32 array (host side).
+
+    Mirror of the packed PULL: through the axon tunnel every host→device
+    transfer pays a relay ack (~5-6 ms measured), and the per-frame step
+    uploads 9 arrays — image, 3 IMU windows, 4 label/merge arrays, t_new.
+    One packed array = one upload. Row h carries the IMU window (7W floats),
+    row h+1 the labels/merges/t_new (2·cap + 2·Q + 1). Feature ids stay exact
+    in f32 below 2^24.
+    """
+    h, w = vopts.h, vopts.w
+    cap, Q = vopts.cap, vopts.merge_slots
+    n_pay = 7 * W + 2 * cap + 2 * Q + 1
+    n_rows = -(-n_pay // w)                         # payload rows appended
+    single = np.asarray(img).ndim == 2
+    imgs = np.asarray(img, np.float32)[None] if single else np.asarray(img, np.float32)
+    B = imgs.shape[0]
+    bview = lambda a: np.asarray(a, np.float32).reshape(B, -1)
+    pay = np.zeros((B, n_rows * w), np.float32)
+    pay[:, :W] = bview(imu_t)
+    pay[:, W:4 * W] = bview(imu_w)
+    pay[:, 4 * W:7 * W] = bview(imu_a)
+    o = 7 * W
+    pay[:, o:o + cap] = bview(label_ids)
+    pay[:, o + cap:o + 2 * cap] = bview(label_pid)
+    pay[:, o + 2 * cap:o + 2 * cap + Q] = bview(merge_from)
+    pay[:, o + 2 * cap + Q:o + 2 * cap + 2 * Q] = bview(merge_into)
+    pay[:, o + 2 * cap + 2 * Q] = np.asarray(t_new, np.float32).reshape(B)
+    packed = np.concatenate([imgs, pay.reshape(B, n_rows, w)], axis=1)
+    return packed[0] if single else packed
+
+
+def _unpack_inputs(vopts: FusedVisionOptions, W: int, packed):
+    """Device-side inverse of _pack_inputs for one stream ([h+n_rows, w])."""
+    h, w = vopts.h, vopts.w
+    cap, Q = vopts.cap, vopts.merge_slots
+    img = packed[:h]
+    pay = packed[h:].reshape(-1)
+    imu_t = pay[:W]
+    imu_w = pay[W:4 * W].reshape(W, 3)
+    imu_a = pay[4 * W:7 * W].reshape(W, 3)
+    o = 7 * W
+    label_ids = pay[o:o + cap].astype(jnp.int32)
+    label_pid = pay[o + cap:o + 2 * cap].astype(jnp.int32)
+    merge_from = pay[o + 2 * cap:o + 2 * cap + Q].astype(jnp.int32)
+    merge_into = pay[o + 2 * cap + Q:o + 2 * cap + 2 * Q].astype(jnp.int32)
+    t_new = pay[o + 2 * cap + 2 * Q]
+    return img, imu_t, imu_w, imu_a, t_new, label_ids, label_pid, merge_from, merge_into
+
+
 def _unpack(packed: "np.ndarray"):
     """[B, cap+3, 8] packed pull →
     (ids, uv, valid, p3, ok3, counters, R_GtoC, p_CinG)."""
@@ -382,12 +433,15 @@ class FusedVisionDriver:
             # 5 levels; 8 prior-seeded iterations. Patch gathers are the
             # fused program's dominant device cost — the 21x21 window ran
             # 2.1x more gather volume than the reference's own setting.
-            # OVP_KLT_FB=0 selects forward-only LK (the reference's own
-            # dataflow; outliers go to the gyro RANSAC) — an A/B knob while
-            # the fb gate's quality margin is being characterized.
+            # Forward-only LK is the DEFAULT: it is the reference's own
+            # dataflow (one calcOpticalFlowPyrLK call, TrackPlane.cpp:1329;
+            # outliers go to the gyro RANSAC), halves the tracker's
+            # sequential device chain (57.7 vs 63.4 ms/frame on the v5e), and
+            # passes every fused quality gate incl. the stock-gate tabletop
+            # plane e2e. OVP_KLT_FB=1 re-enables the forward-backward check.
             klt=fklt.KltOptions(
                 levels=5, window=7, iters=8,
-                fb_check=os.environ.get("OVP_KLT_FB", "1") == "1"),
+                fb_check=os.environ.get("OVP_KLT_FB", "0") == "1"),
             fast=ffast.FastOptions(
                 threshold=cfg.fast_threshold / 255.0,
                 grid_x=cfg.grid_x, grid_y=cfg.grid_y,
@@ -416,13 +470,17 @@ class FusedVisionDriver:
         self.last_plane_stats = [{} for _ in range(n)]
         self.last_tri = [None] * n
 
-        if batch:
-            self._fn = jax.jit(jax.vmap(
-                lambda st, bk, fe, img, it, iw, ia, tn, li, lp, mf, mi:
-                fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw, ia, tn,
-                                  li, lp, mf, mi)))
-        else:
-            self._fn = functools.partial(fused_vision_step, eng, self.vopts)
+        # One PACKED upload per dispatch (see _pack_inputs): the step takes
+        # (state, bank, fev, packed[h+2, w]) and unpacks on device.
+        self._W = cfg.tpu.max_imu_per_frame
+
+        def _packed_step(st, bk, fe, packed):
+            (img, it, iw, ia, tn, li, lp, mf, mi) = _unpack_inputs(
+                self.vopts, self._W, packed)
+            return fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw,
+                                     ia, tn, li, lp, mf, mi)
+
+        self._fn = jax.jit(jax.vmap(_packed_step)) if batch else jax.jit(_packed_step)
 
     def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
         return FusedFrontendState.create(self.vopts, first_id)
@@ -482,12 +540,12 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
+        packed_in = _pack_inputs(
+            self.vopts, self._W, img, imu_t, imu_w, imu_a, t_new,
+            self._label_ids[0], self._label_pid[0],
+            self._merge_from[0], self._merge_into[0])
         state, bank, fev, out, pull = self._fn(
-            state, bank, fev, jnp.asarray(img, jnp.float32),
-            jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
-            jnp.asarray(t_new),
-            jnp.asarray(self._label_ids[0]), jnp.asarray(self._label_pid[0]),
-            jnp.asarray(self._merge_from[0]), jnp.asarray(self._merge_into[0]))
+            state, bank, fev, jnp.asarray(packed_in))
         if pipelined:
             prev = self._pending_pull if hasattr(self, "_pending_pull") else None
             self._pending_pull = pull                 # materialized next step
@@ -531,12 +589,11 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
+        packed_in = _pack_inputs(
+            self.vopts, self._W, imgs, imu_t, imu_w, imu_a, t_new,
+            self._label_ids, self._label_pid, self._merge_from, self._merge_into)
         states, banks, fevs, out, pull = self._fn(
-            states, banks, fevs, jnp.asarray(imgs, jnp.float32),
-            jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
-            jnp.asarray(t_new),
-            jnp.asarray(self._label_ids), jnp.asarray(self._label_pid),
-            jnp.asarray(self._merge_from), jnp.asarray(self._merge_into))
+            states, banks, fevs, jnp.asarray(packed_in))
         if pipelined:
             prev = getattr(self, "_pending_pull", None)
             self._pending_pull = pull

@@ -27,12 +27,25 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <map>
+#include <memory>
 #include <random>
 #include <vector>
 
 using Eigen::MatrixXd;
 using Eigen::VectorXd;
 using Eigen::Vector3d;
+
+// FeatureDatabase-style bookkeeping (ov_core FeatureDatabase: a std::map of
+// shared_ptr<Feature>, each holding per-camera timestamp/uv vectors; every
+// frame does update_feature lookups/inserts for each observation, and the
+// manager walks the map for lost/marginal feature selection + cleanup).
+struct Feature {
+  size_t id;
+  std::vector<double> ts;
+  std::vector<Eigen::Vector2f> uvs, uvs_norm;
+  bool to_delete = false;
+};
 
 int main(int argc, char** argv) {
   // bench.py sim-mode sizes: D = 15 imu + 12 clones x 6 + 3 slam + 3 plane.
@@ -41,6 +54,7 @@ int main(int argc, char** argv) {
   int m_obs    = argc > 3 ? atoi(argv[3]) : 8;    // obs per MSCKF feature
   int n_imu    = argc > 4 ? atoi(argv[4]) : 25;   // IMU samples per frame
   int n_frames = argc > 5 ? atoi(argv[5]) : 300;  // 30 s at 10 Hz cam
+  int n_obs_frame = argc > 6 ? atoi(argv[6]) : 0; // 0 = skip bookkeeping mode
   const int D = 15 + 6 * n_clones + 6;
 
   std::mt19937 gen(42);
@@ -56,7 +70,12 @@ int main(int argc, char** argv) {
   MatrixXd P = 1e-4 * (A0 * A0.transpose()) + 1e-3 * MatrixXd::Identity(D, D);
   VectorXd x = VectorXd::Zero(D);
 
-  double t_prop = 0, t_tri = 0, t_jac = 0, t_null = 0, t_comp = 0, t_upd = 0, t_marg = 0;
+  std::map<size_t, std::shared_ptr<Feature>> feat_db;
+  size_t next_fid = 0;
+  std::mt19937 fgen(7);
+
+  double t_prop = 0, t_tri = 0, t_jac = 0, t_null = 0, t_comp = 0, t_upd = 0,
+         t_marg = 0, t_db = 0;
   using clk = std::chrono::steady_clock;
   auto ms = [](clk::time_point a, clk::time_point b) {
     return std::chrono::duration<double, std::milli>(b - a).count();
@@ -203,14 +222,63 @@ int main(int argc, char** argv) {
     }
     auto th = clk::now();
     t_marg += ms(tg, th);
+
+    // --- FeatureDatabase bookkeeping (n_obs_frame > 0): the reference's
+    // per-frame feature management, modeled on ov_core FeatureDatabase +
+    // VioManager::do_feature_propagate_update's selection walks ------------
+    if (n_obs_frame > 0) {
+      static std::vector<size_t> active;
+      if ((int)active.size() < n_obs_frame)
+        while ((int)active.size() < n_obs_frame) active.push_back(next_fid++);
+      std::uniform_real_distribution<double> u01(0.0, 1.0);
+      double tnow = 0.05 * f;
+      // update_feature: map lookup/insert + per-obs vector pushes + undistort.
+      for (size_t& fid : active) {
+        if (u01(fgen) < 1.0 / m_obs) fid = next_fid++;   // track death/birth
+        auto it = feat_db.find(fid);
+        std::shared_ptr<Feature> ft;
+        if (it == feat_db.end()) {
+          ft = std::make_shared<Feature>();
+          ft->id = fid;
+          feat_db[fid] = ft;
+        } else {
+          ft = it->second;
+        }
+        float u = (float)u01(fgen) * 640.f, v = (float)u01(fgen) * 480.f;
+        ft->ts.push_back(tnow);
+        ft->uvs.emplace_back(u, v);
+        // radtan undistort stand-in (fixed-point iterations the sim skips,
+        // but the normalized push the reference always does).
+        ft->uvs_norm.emplace_back((u - 320.f) / 300.f, (v - 240.f) / 300.f);
+      }
+      // Selection walks: lost features (no obs at tnow) + over-length ones.
+      std::vector<std::shared_ptr<Feature>> lost, marg;
+      for (auto& kv : feat_db) {
+        auto& ft = kv.second;
+        if (ft->ts.empty()) continue;
+        if (ft->ts.back() < tnow - 1e-9) lost.push_back(ft);
+        else if ((int)ft->ts.size() > n_clones) marg.push_back(ft);
+        if ((int)lost.size() + (int)marg.size() > 2 * n_feat) break;
+      }
+      // Consume + cleanup (erase walk, shared_ptr churn).
+      for (auto& ft : lost) ft->to_delete = true;
+      for (auto& ft : marg) ft->to_delete = true;
+      for (auto it2 = feat_db.begin(); it2 != feat_db.end();) {
+        if (it2->second->to_delete) it2 = feat_db.erase(it2);
+        else ++it2;
+      }
+      auto ti2 = clk::now();
+      t_db += ms(th, ti2);
+    }
   }
   double wall = ms(wall0, clk::now());
 
   double n = n_frames;
   printf("refbench: D=%d clones=%d feats=%d obs=%d imu/frame=%d frames=%d\n",
          D, n_clones, n_feat, m_obs, n_imu, n_frames);
-  printf("per-frame ms: prop=%.3f tri=%.3f jac=%.3f null=%.3f comp=%.3f upd=%.3f marg=%.3f\n",
-         t_prop / n, t_tri / n, t_jac / n, t_null / n, t_comp / n, t_upd / n, t_marg / n);
+  printf("per-frame ms: prop=%.3f tri=%.3f jac=%.3f null=%.3f comp=%.3f upd=%.3f marg=%.3f db=%.3f\n",
+         t_prop / n, t_tri / n, t_jac / n, t_null / n, t_comp / n, t_upd / n,
+         t_marg / n, t_db / n);
   printf("total %.1f ms for %d frames -> %.1f fps (single thread)\n", wall,
          n_frames, 1e3 * n_frames / wall);
   // Machine-readable line for scripts/ground_baseline.py.
