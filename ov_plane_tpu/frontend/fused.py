@@ -439,9 +439,14 @@ class FusedVisionDriver:
             # sequential device chain (57.7 vs 63.4 ms/frame on the v5e), and
             # passes every fused quality gate incl. the stock-gate tabletop
             # plane e2e. OVP_KLT_FB=1 re-enables the forward-backward check.
+            # Patch sampler 'mm': bilinear interpolation as one-hot matmuls
+            # on the MXU (klt.py) — the vmapped dynamic_slice form serializes
+            # into latency-bound gathers on the TPU. Verified ≡ 'slice' to
+            # 8e-6 px; OVP_KLT_SAMPLER selects slice/mm/mm_bf16.
             klt=fklt.KltOptions(
                 levels=5, window=7, iters=8,
-                fb_check=os.environ.get("OVP_KLT_FB", "0") == "1"),
+                fb_check=os.environ.get("OVP_KLT_FB", "0") == "1",
+                sampler=os.environ.get("OVP_KLT_SAMPLER", "mm")),
             fast=ffast.FastOptions(
                 threshold=cfg.fast_threshold / 255.0,
                 grid_x=cfg.grid_x, grid_y=cfg.grid_y,

@@ -34,6 +34,16 @@ class KltOptions(NamedTuple):
     # (one calcOpticalFlowPyrLK call, TrackPlane.cpp:1329; outliers go to the
     # downstream RANSAC). Halves the tracker's sequential device chain.
     fb_check: bool = True
+    # Patch sampler. 'slice': per-feature dynamic_slice gathers (exact, the
+    # CPU-friendly form). 'mm': bilinear interpolation as two one-hot matmuls
+    # per sample — S_y[N,P,H] @ img @ S_x[N,P,W]ᵀ with the bilinear weights
+    # folded into the selector matrices — which moves the whole patch
+    # extraction onto the MXU. On the TPU the vmapped dynamic_slice lowers to
+    # serialized gathers (latency-bound); the matmul form is dense batched
+    # GEMM the systolic array eats. 'mm_bf16': same with bf16 operands and
+    # f32 accumulation (images live in [0,1]; quantization ~0.2% intensity,
+    # well under the tracking noise floor) for 2x MXU rate and half the HBM.
+    sampler: str = "slice"
 
 
 def _gauss_kernel(dtype):
@@ -110,6 +120,124 @@ def _bilinear_patch(padded, center_xy, w: int):
     c = raw[1:, :-1]
     d = raw[1:, 1:]
     return a * (1 - fx) * (1 - fy) + b * fx * (1 - fy) + c * (1 - fx) * fy + d * fx * fy
+
+
+def _bilinear_selectors(padded_shape, centers, w: int, dtype):
+    """One-hot bilinear selector matrices for a batch of patch centers.
+
+    Returns (Sy [N, P, Hp], Sx [N, P, Wp]) with P = 2w+1 such that
+    ``einsum('nph,hw,nqw->npq', Sy, padded, Sx)`` equals the per-feature
+    ``_bilinear_patch`` output exactly (same corner clipping): each selector
+    row carries the two bilinear taps ((1-f) at i, f at i+1), so the
+    interpolation itself rides the MXU contraction.
+    """
+    Hp, Wp = padded_shape
+    P = 2 * w + 1
+    x, y = centers[:, 0], centers[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(dtype)[:, None, None]
+    fy = (y - y0).astype(dtype)[:, None, None]
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hp - (P + 1))
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, Wp - (P + 1))
+    rows = yi[:, None] + jnp.arange(P, dtype=jnp.int32)[None]      # [N, P]
+    cols = xi[:, None] + jnp.arange(P, dtype=jnp.int32)[None]
+    ih = jnp.arange(Hp, dtype=jnp.int32)[None, None]
+    iw = jnp.arange(Wp, dtype=jnp.int32)[None, None]
+    r3 = rows[..., None]
+    c3 = cols[..., None]
+    one = jnp.asarray(1.0, dtype)
+    Sy = jnp.where(ih == r3, one - fy, 0.0) + jnp.where(ih == r3 + 1, fy, 0.0)
+    Sx = jnp.where(iw == c3, one - fx, 0.0) + jnp.where(iw == c3 + 1, fx, 0.0)
+    return Sy.astype(dtype), Sx.astype(dtype)
+
+
+def _sample_batch(padded_stack, centers, w: int, dtype, rows_by_gather=False):
+    """Bilinear patches for N centers from C stacked padded images via MXU
+    contractions. padded_stack [C, Hp, Wp]; centers [N, 2]; returns
+    [C, N, P, P] float32.
+
+    The sampler's precision is explicit (never the global matmul-precision
+    flag): f32 operands contract exactly (HIGHEST), bf16 operands take the
+    native single MXU pass — the global 'highest' default would silently run
+    the f32 selector GEMMs as 6-pass bf16x3², ~6x the FLOPs for interpolation
+    that tolerates bf16 outright.
+
+    rows_by_gather=True replaces the row-selection GEMM (which multiplies the
+    one-hot selector against the WHOLE image — dense FLOPs, 97% zeros) with a
+    row gather + 2-tap vertical blend, keeping only the cheap x-selection
+    GEMM. Which wins on the TPU depends on gather throughput vs MXU rate;
+    both are exposed for A/B (sampler='rowmm*').
+    """
+    C, Hp, Wp = padded_stack.shape
+    P = 2 * w + 1
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    imgs = padded_stack.astype(dtype)
+    if rows_by_gather:
+        x, y = centers[:, 0], centers[:, 1]
+        y0 = jnp.floor(y)
+        fy = (y - y0).astype(jnp.float32)[None, :, None, None]
+        yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hp - (P + 1))
+        ridx = yi[:, None] + jnp.arange(P + 1, dtype=jnp.int32)[None]  # [N,P+1]
+        rows = imgs[:, ridx].astype(jnp.float32)        # [C, N, P+1, Wp]
+        rowsel = (rows[:, :, :P] * (1.0 - fy) + rows[:, :, 1:] * fy)
+        _, Sx = _bilinear_selectors((Hp, Wp), centers, w, dtype)
+        # [C,N,P,Wp] x [N,P',Wp] -> [N,C,P,P'] (batch N leads the output).
+        patches = jax.lax.dot_general(
+            rowsel.astype(dtype), Sx, (((3,), (2,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        return jnp.transpose(patches, (1, 0, 2, 3))
+    Sy, Sx = _bilinear_selectors((Hp, Wp), centers, w, dtype)
+    # [N,P,Hp] x [C,Hp,Wp] -> [N,P,C,Wp]: one dot_general, f32 accumulation.
+    rowsel = jax.lax.dot_general(
+        Sy, imgs, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    # [N,P,C,Wp] x [N,P',Wp] -> contract Wp with N batched: [N,C,P,P'].
+    patches = jax.lax.dot_general(
+        rowsel.astype(dtype), Sx, (((3,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [N, P, C, P']
+    return jnp.transpose(patches, (2, 0, 1, 3))
+
+
+def _track_level_batch(img0, gx0, gy0, img1, pts0, guess,
+                       opts: KltOptions, dtype, rows_by_gather=False):
+    """Batched-matmul form of _track_level: all N features at once, patch
+    sampling on the MXU (see KltOptions.sampler). Same semantics: flat
+    patches keep the incoming guess; divergent steps halt iteration."""
+    w = opts.window
+    tpl = _sample_batch(jnp.stack([img0, gx0, gy0]), pts0, w, dtype,
+                        rows_by_gather)
+    t_patch, gx_p, gy_p = tpl[0], tpl[1], tpl[2]            # [N, P, P] f32
+    gxx = jnp.sum(gx_p * gx_p, axis=(1, 2))
+    gxy = jnp.sum(gx_p * gy_p, axis=(1, 2))
+    gyy = jnp.sum(gy_p * gy_p, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2))
+    n_px = (2 * w + 1) ** 2
+    ok = min_eig / n_px > opts.min_eig
+    det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    max_step2 = float(2 * w + 1) ** 2
+    img1s = img1[None]
+
+    def body(carry, _):
+        flow, active = carry
+        cur = _sample_batch(img1s, pts0 + flow, w, dtype, rows_by_gather)[0]
+        di = cur - t_patch
+        bx = jnp.sum(di * gx_p, axis=(1, 2))
+        by = jnp.sum(di * gy_p, axis=(1, 2))
+        dx = (gyy * bx - gxy * by) / det_s
+        dy = (-gxy * bx + gxx * by) / det_s
+        delta = jnp.stack([dx, dy], axis=1)                 # [N, 2]
+        step_ok = (jnp.all(jnp.isfinite(delta), axis=1)
+                   & (jnp.sum(delta * delta, axis=1) <= max_step2))
+        upd = active & step_ok
+        return (jnp.where(upd[:, None], flow - delta, flow), upd), None
+
+    (flow, _), _ = jax.lax.scan(body, (guess, ok), None, length=opts.iters)
+    final = _sample_batch(img1s, pts0 + flow, w, dtype, rows_by_gather)[0]
+    err = jnp.mean(jnp.abs(final - t_patch), axis=(1, 2))
+    return flow, ok, err
 
 
 def _track_level(img0, gx0, gy0, img1, pt0, guess, opts: KltOptions):
@@ -209,7 +337,25 @@ def track(pyr0, pyr1, pts0, mask, opts: KltOptions, init_flow=None):
     if init_flow is None:
         init_flow = jnp.zeros_like(pts0)
 
+    mm_dtype = jnp.bfloat16 if opts.sampler.endswith("_bf16") else jnp.float32
+    mm_rows = opts.sampler.startswith("rowmm")
+
     def run(pyra, gradsa, pyrb, pts_from, m, flow0):
+        if opts.sampler != "slice":
+            # Whole feature batch at once; patch sampling on the MXU.
+            flow = flow0
+            okl = jnp.ones(pts_from.shape[0], bool)
+            err = jnp.zeros(pts_from.shape[0], pts_from.dtype)
+            for lvl in range(levels - 1, -1, -1):
+                scale = 2.0**lvl
+                gx0, gy0 = gradsa[lvl]
+                f_l, ok_l, err = _track_level_batch(
+                    pyra[lvl], gx0, gy0, pyrb[lvl], pts_from / scale,
+                    flow / scale, opts, mm_dtype, mm_rows)
+                flow = f_l * scale
+                okl = ok_l
+            return pts_from + flow, okl, err
+
         def one(pt0, f0):
             flow = f0
             okl = jnp.asarray(True)

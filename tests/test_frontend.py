@@ -59,6 +59,38 @@ def test_klt_tracks_known_shift():
     assert np.max(np.abs(flow - [dx, dy])) < 0.8
 
 
+def test_klt_matmul_sampler_matches_slice():
+    """The MXU one-hot-matmul patch sampler (sampler='mm') is the TPU form of
+    the dynamic_slice sampler: identical tracks to f32 rounding, and the bf16
+    variant stays within a few hundredths of a pixel (under the noise floor)."""
+    img0 = _texture(120, 160, seed=3)
+    img1 = _shift_image(img0, 2.3, -1.7)
+    pyr0 = tuple(fklt.build_pyramid(jnp.asarray(img0), 3))
+    pyr1 = tuple(fklt.build_pyramid(jnp.asarray(img1), 3))
+    pts = jnp.asarray(RNG.uniform([25, 25], [135, 95], size=(24, 2)), jnp.float32)
+    mask = jnp.ones(24, bool)
+    res = {}
+    for sampler in ("slice", "mm", "mm_bf16"):
+        o = fklt.KltOptions(levels=3, window=7, iters=8, fb_check=False,
+                            sampler=sampler)
+        p, ok = fklt.track(pyr0, pyr1, pts, mask, o)
+        res[sampler] = (np.asarray(p), np.asarray(ok))
+    both = res["slice"][1] & res["mm"][1]
+    assert both.sum() >= 16
+    np.testing.assert_allclose(res["mm"][0][both], res["slice"][0][both],
+                               atol=1e-3)
+    bothb = res["slice"][1] & res["mm_bf16"][1]
+    np.testing.assert_allclose(res["mm_bf16"][0][bothb], res["slice"][0][bothb],
+                               atol=0.1)
+    # Patch-level exactness of the selector contraction.
+    from ov_plane_tpu.frontend.klt import (_bilinear_patch, _pad_edge,
+                                           _sample_batch)
+    pad = _pad_edge(jnp.asarray(img0), 7)
+    Pm = _sample_batch(pad[None], pts, 7, jnp.float32)[0]
+    Ps = jax.vmap(lambda c: _bilinear_patch(pad, c, 7))(pts)
+    np.testing.assert_allclose(np.asarray(Pm), np.asarray(Ps), atol=2e-6)
+
+
 def test_klt_rejects_featureless():
     img0 = np.zeros((96, 96), np.float32)
     opts = fklt.KltOptions(levels=2, window=7)
