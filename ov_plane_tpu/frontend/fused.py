@@ -66,6 +66,10 @@ class FusedVisionOptions(NamedTuple):
     max_cond: float = 5000.0
     max_ray_rms_rel: float = 0.05
     max_ray_rms_abs: float = 0.05
+    # Image wire dtype for the host->device upload: 'f32' (lossless for float
+    # sources), 'u8' (the camera-native format, 4x less transfer — see
+    # _pack_inputs for when it is and is not safe), 'f16'.
+    img_wire: str = "f32"
 
 
 @struct.dataclass
@@ -349,24 +353,39 @@ def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
 
 def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
                  t_new, label_ids, label_pid, merge_from, merge_into):
-    """Pack one frame's inputs into a single [h+2, w] f32 array (host side).
+    """Pack one frame's inputs into (image on the wire, payload f32 [n_pay]).
 
-    Mirror of the packed PULL: through the axon tunnel every host→device
-    transfer pays a relay ack (~5-6 ms measured), and the per-frame step
-    uploads 9 arrays — image, 3 IMU windows, 4 label/merge arrays, t_new.
-    One packed array = one upload. Row h carries the IMU window (7W floats),
-    row h+1 the labels/merges/t_new (2·cap + 2·Q + 1). Feature ids stay exact
-    in f32 below 2^24.
+    Two uploads per dispatch, sized for the wire. The image's wire dtype is
+    ``vopts.img_wire``:
+
+    * ``'u8'`` — 4x less transfer than f32, which matters through the axon
+      tunnel (a 32-stream f32 frame-batch is ~39 MB and measured ~1.3 s of the
+      old single-upload step — the dominant cost, not compute). LOSSLESS when
+      the source is an 8-bit camera (the reference ingests 8-bit mono,
+      TrackPlane.cpp:463; EuRoC PNGs are u8) and measured ≤0.013 px track
+      deviation on the textured bench scene. NOT for dim low-gradient float
+      imagery: Scharr gradients of a quantized image are noise-amplified
+      (measured: the sparse-blob test scene diverges under u8 and even f16).
+    * ``'f16'`` — 2x; ~2.4e-4 absolute intensity error.
+    * ``'f32'`` (default) — lossless for any float source.
+
+    The payload (3 IMU windows, label/merge arrays, t_new — a few kB) stays
+    f32 in a second small array; each extra transfer costs only a ~5 ms relay
+    ack. Feature ids stay exact in f32 below 2^24.
     """
-    h, w = vopts.h, vopts.w
     cap, Q = vopts.cap, vopts.merge_slots
     n_pay = 7 * W + 2 * cap + 2 * Q + 1
-    n_rows = -(-n_pay // w)                         # payload rows appended
     single = np.asarray(img).ndim == 2
     imgs = np.asarray(img, np.float32)[None] if single else np.asarray(img, np.float32)
     B = imgs.shape[0]
+    if vopts.img_wire == "u8":
+        wire = np.clip(np.rint(imgs * 255.0), 0.0, 255.0).astype(np.uint8)
+    elif vopts.img_wire == "f16":
+        wire = imgs.astype(np.float16)
+    else:
+        wire = imgs
     bview = lambda a: np.asarray(a, np.float32).reshape(B, -1)
-    pay = np.zeros((B, n_rows * w), np.float32)
+    pay = np.zeros((B, n_pay), np.float32)
     pay[:, :W] = bview(imu_t)
     pay[:, W:4 * W] = bview(imu_w)
     pay[:, 4 * W:7 * W] = bview(imu_a)
@@ -376,16 +395,16 @@ def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
     pay[:, o + 2 * cap:o + 2 * cap + Q] = bview(merge_from)
     pay[:, o + 2 * cap + Q:o + 2 * cap + 2 * Q] = bview(merge_into)
     pay[:, o + 2 * cap + 2 * Q] = np.asarray(t_new, np.float32).reshape(B)
-    packed = np.concatenate([imgs, pay.reshape(B, n_rows, w)], axis=1)
-    return packed[0] if single else packed
+    return (wire[0], pay[0]) if single else (wire, pay)
 
 
-def _unpack_inputs(vopts: FusedVisionOptions, W: int, packed):
-    """Device-side inverse of _pack_inputs for one stream ([h+n_rows, w])."""
-    h, w = vopts.h, vopts.w
+def _unpack_inputs(vopts: FusedVisionOptions, W: int, img_wire, pay):
+    """Device-side inverse of _pack_inputs for one stream."""
     cap, Q = vopts.cap, vopts.merge_slots
-    img = packed[:h]
-    pay = packed[h:].reshape(-1)
+    if img_wire.dtype == jnp.uint8:
+        img = img_wire.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    else:
+        img = img_wire.astype(jnp.float32)
     imu_t = pay[:W]
     imu_w = pay[W:4 * W].reshape(W, 3)
     imu_a = pay[4 * W:7 * W].reshape(W, 3)
@@ -441,8 +460,15 @@ class FusedVisionDriver:
             # plane e2e. OVP_KLT_FB=1 re-enables the forward-backward check.
             # Patch sampler 'mm': bilinear interpolation as one-hot matmuls
             # on the MXU (klt.py) — the vmapped dynamic_slice form serializes
-            # into latency-bound gathers on the TPU. Verified ≡ 'slice' to
-            # 8e-6 px; OVP_KLT_SAMPLER selects slice/mm/mm_bf16.
+            # into latency-bound gathers on the TPU. Measured on the v5e at
+            # B=32 (track-alone, net of the tunnel RTT): slice ~158 ms, mm
+            # (f32, exact ≡ slice to 1e-5 px) ~21 ms, mm_bf16 ~4.6 ms with
+            # equal-or-better track survival. 'mm' is the default because
+            # bf16 patch quantization — like any image quantization — is
+            # measurably harmful on dim low-gradient scenes (the sparse-blob
+            # e2e diverges; same mechanism as the u8 wire, see _pack_inputs);
+            # on textured/real imagery mm_bf16 deviates ≤0.03 px and the
+            # bench opts in via OVP_KLT_SAMPLER=mm_bf16.
             klt=fklt.KltOptions(
                 levels=5, window=7, iters=8,
                 fb_check=os.environ.get("OVP_KLT_FB", "0") == "1",
@@ -461,6 +487,7 @@ class FusedVisionDriver:
             max_cond=cfg.trackplane.max_cond_number,
             max_ray_rms_rel=cfg.trackplane.max_ray_rms_rel,
             max_ray_rms_abs=cfg.trackplane.max_ray_rms_abs,
+            img_wire=os.environ.get("OVP_IMG_WIRE", "f32"),
         )
         self.eng = eng
         self.B = batch
@@ -475,13 +502,14 @@ class FusedVisionDriver:
         self.last_plane_stats = [{} for _ in range(n)]
         self.last_tri = [None] * n
 
-        # One PACKED upload per dispatch (see _pack_inputs): the step takes
-        # (state, bank, fev, packed[h+2, w]) and unpacks on device.
+        # Two wire-sized uploads per dispatch (see _pack_inputs): the step
+        # takes (state, bank, fev, img_u8[h, w], payload[n_pay]) and unpacks
+        # on device.
         self._W = cfg.tpu.max_imu_per_frame
 
-        def _packed_step(st, bk, fe, packed):
+        def _packed_step(st, bk, fe, img_u8, pay):
             (img, it, iw, ia, tn, li, lp, mf, mi) = _unpack_inputs(
-                self.vopts, self._W, packed)
+                self.vopts, self._W, img_u8, pay)
             return fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw,
                                      ia, tn, li, lp, mf, mi)
 
@@ -545,12 +573,12 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
-        packed_in = _pack_inputs(
+        img_u8, pay = _pack_inputs(
             self.vopts, self._W, img, imu_t, imu_w, imu_a, t_new,
             self._label_ids[0], self._label_pid[0],
             self._merge_from[0], self._merge_into[0])
         state, bank, fev, out, pull = self._fn(
-            state, bank, fev, jnp.asarray(packed_in))
+            state, bank, fev, jnp.asarray(img_u8), jnp.asarray(pay))
         if pipelined:
             prev = self._pending_pull if hasattr(self, "_pending_pull") else None
             self._pending_pull = pull                 # materialized next step
@@ -594,11 +622,11 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
-        packed_in = _pack_inputs(
+        img_u8, pay = _pack_inputs(
             self.vopts, self._W, imgs, imu_t, imu_w, imu_a, t_new,
             self._label_ids, self._label_pid, self._merge_from, self._merge_into)
         states, banks, fevs, out, pull = self._fn(
-            states, banks, fevs, jnp.asarray(packed_in))
+            states, banks, fevs, jnp.asarray(img_u8), jnp.asarray(pay))
         if pipelined:
             prev = getattr(self, "_pending_pull", None)
             self._pending_pull = pull
