@@ -66,6 +66,56 @@ def _imu_window(cfg, sim, i):
     return it, iw, ia
 
 
+def test_pack_inputs_wire_dtypes():
+    """The split upload (image wire + f32 payload) round-trips exactly: u8 is
+    bit-lossless for 8-bit-derived sources, f16/f32 within dtype eps, and the
+    payload (IMU windows incl inf padding, labels, merges, t_new) is exact."""
+    from ov_plane_tpu.frontend import fast as ffast
+    from ov_plane_tpu.frontend import klt as fklt
+    from ov_plane_tpu.frontend.fused import (FusedVisionOptions, _pack_inputs,
+                                             _unpack_inputs)
+    from ov_plane_tpu.frontend.ransac import RansacOptions
+
+    rng = np.random.default_rng(0)
+    W = 5
+    base = FusedVisionOptions(
+        cam_model=0, h=24, w=32, cap=8, num_target=6,
+        klt=fklt.KltOptions(), fast=ffast.FastOptions(),
+        ransac=RansacOptions(), histogram_method=0)
+    # u8-derived float source (what the EuRoC/bag readers produce).
+    img = rng.integers(0, 256, (24, 32)).astype(np.float32) / 255.0
+    imu_t = np.array([1.0, 2.0, 3.0, np.inf, np.inf])
+    imu_w = rng.normal(0, 1, (W, 3))
+    imu_a = rng.normal(0, 1, (W, 3))
+    li = np.arange(8, dtype=np.int32)
+    lp = np.full(8, 3, np.int32)
+    mf = np.full(8, -1, np.int32)
+    mi = np.full(8, 2, np.int32)
+    for wire_name, atol in [("u8", 0.0), ("f16", 3e-4), ("f32", 0.0)]:
+        vo = base._replace(img_wire=wire_name)
+        wire, pay = _pack_inputs(vo, W, img, imu_t, imu_w, imu_a, 7.25,
+                                 li, lp, mf, mi)
+        img2, it2, iw2, ia2, tn2, li2, lp2, mf2, mi2 = _unpack_inputs(
+            vo, W, jnp.asarray(wire), jnp.asarray(pay))
+        np.testing.assert_allclose(np.asarray(img2), img, atol=atol)
+        np.testing.assert_array_equal(np.asarray(it2), imu_t.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(iw2), imu_w, atol=1e-6)
+        assert float(tn2) == 7.25
+        np.testing.assert_array_equal(np.asarray(li2), li)
+        np.testing.assert_array_equal(np.asarray(lp2), lp)
+        np.testing.assert_array_equal(np.asarray(mf2), mf)
+        np.testing.assert_array_equal(np.asarray(mi2), mi)
+    # Batched form carries the leading stream axis through both arrays.
+    vo = base._replace(img_wire="u8")
+    wireb, payb = _pack_inputs(vo, W, np.stack([img, img]),
+                               np.stack([imu_t] * 2), np.stack([imu_w] * 2),
+                               np.stack([imu_a] * 2), np.array([7.25, 7.25]),
+                               np.stack([li] * 2), np.stack([lp] * 2),
+                               np.stack([mf] * 2), np.stack([mi] * 2))
+    assert wireb.shape == (2, 24, 32) and wireb.dtype == np.uint8
+    assert payb.shape[0] == 2 and payb.dtype == np.float32
+
+
 @pytest.mark.slow
 def test_fused_vision_tracks_and_filters():
     cfg, eng, state, bank, sim, frames, n = _setup()
