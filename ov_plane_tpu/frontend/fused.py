@@ -437,9 +437,15 @@ class FusedVisionDriver:
     runs the (inherently sequential) Delaunay plane detector on the previous
     frame's pulled tracks, and feeds the resulting labels/merges into the next
     dispatch. One device round trip per frame per stream; `step_batch` vmaps
-    the program over B independent streams (one chip, B sequences)."""
+    the program over B independent streams (one chip, B sequences).
 
-    def __init__(self, cfg, eng: VioEngine, batch: int = 0):
+    mesh: optional `jax.sharding.Mesh` with a 'dp' axis — the stream batch is
+    sharded over it (multi-chip vision serving: each device carries B/|dp|
+    full frontend+filter streams; no cross-stream communication exists in the
+    program, so the partitioning is embarrassingly clean). Requires batch to
+    be a multiple of the axis size."""
+
+    def __init__(self, cfg, eng: VioEngine, batch: int = 0, mesh=None):
         from ov_plane_tpu.frontend.plane_track import PlaneTracker
 
         cap = cfg.tpu.max_obs_per_frame
@@ -513,7 +519,19 @@ class FusedVisionDriver:
             return fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw,
                                      ia, tn, li, lp, mf, mi)
 
-        self._fn = jax.jit(jax.vmap(_packed_step)) if batch else jax.jit(_packed_step)
+        if mesh is not None:
+            if not batch or batch % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"batch ({batch}) must be a positive multiple of the dp "
+                    f"axis size ({mesh.shape['dp']})")
+            ns = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+            self._fn = jax.jit(jax.vmap(_packed_step),
+                               in_shardings=(ns, ns, ns, ns, ns),
+                               out_shardings=ns)
+        elif batch:
+            self._fn = jax.jit(jax.vmap(_packed_step))
+        else:
+            self._fn = jax.jit(_packed_step)
 
     def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
         return FusedFrontendState.create(self.vopts, first_id)

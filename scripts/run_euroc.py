@@ -170,6 +170,19 @@ def main():
                     help="override the tracker capacity (num_pts). Low caps "
                          "(e.g. 40) emulate texture-poor scenes — the regime "
                          "where plane constraints carry the filter")
+    ap.add_argument("--f32", action="store_true",
+                    help="run the filter in float32 (the TPU dtype — f64 "
+                         "matmuls are emulated on-chip; f32+highest is "
+                         "validated ≡ f64 on the sim workload, BASELINE.md)")
+    ap.add_argument("--fused", action="store_true",
+                    help="run the replay through the fused one-dispatch vision "
+                         "step (frontend/fused.py): the whole frontend + filter "
+                         "frame is ONE device program — the TPU deployment path "
+                         "(the unfused pipeline pays ~25 dispatch round trips "
+                         "per frame through the remote tunnel). Images ship on "
+                         "the uint8 wire (PNG/bag sources are 8-bit, lossless). "
+                         "--viz-dir is unavailable in this mode (the per-frame "
+                         "track history stays on device)")
     args = ap.parse_args()
 
     cfg = euroc_v1_config()
@@ -232,6 +245,7 @@ def main():
     # is side-effect-free); DEBUG also dumps the print-on-load config audit.
     printer.set_print_level(args.verbosity or cfg.verbosity)
     printer.print_config(cfg)
+    dt = jnp.float32 if args.f32 else jnp.float64
 
     if args.bag:
         # Direct bag replay (the reference's serial driver indexes the bag and
@@ -270,7 +284,17 @@ def main():
 
     eng = VioEngine.from_config(cfg)
     pipe = VisionPipeline(cfg, eng)
-    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    fdrv = fev = None
+    if args.fused:
+        if args.viz_dir:
+            ap.error("--viz-dir needs the host tracker (drop --fused)")
+        from ov_plane_tpu.frontend.fused import FusedVisionDriver
+
+        # PNG/bag frames are 8-bit at the source: the u8 wire is lossless.
+        os.environ.setdefault("OVP_IMG_WIRE", "u8")
+        fdrv = FusedVisionDriver(cfg, eng)
+        fev = fdrv.init_frontend()
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones, dtype=dt)
     rec = eio.TimingRecorder()
     prec = eio.PlaneStatsRecorder()
     # Persistent device plane map (config 4; ROS1Visualizer.cpp:1413-1520):
@@ -280,7 +304,7 @@ def main():
         from ov_plane_tpu.frontend.map_blocks import PersistentPlaneMap
 
         pmap = PersistentPlaneMap(capacity=args.map_capacity, voxel=args.map_voxel,
-                                  frame_batch=pipe.fe.cap)
+                                  frame_batch=fdrv.vopts.cap if fdrv else pipe.fe.cap)
 
     # ----- initialization --------------------------------------------------
     state = None
@@ -293,7 +317,7 @@ def main():
             if 0 < j < len(t_gt):
                 state = init_state_with_gt(
                     eng, cfg, t0=t, q0=q_gt[j], p0=p_gt[j], v0=v_gt[j],
-                    bg0=bg_gt[j], ba0=ba_gt[j],
+                    bg0=bg_gt[j], ba0=ba_gt[j], dtype=dt,
                 )
                 start_idx = i + 1
                 break
@@ -313,7 +337,7 @@ def main():
             if bool(ok):
                 state = init_state_with_gt(
                     eng, cfg, t0=t, q0=imu16[0:4], p0=imu16[4:7], v0=imu16[7:10],
-                    bg0=imu16[10:13], ba0=imu16[13:16],
+                    bg0=imu16[10:13], ba0=imu16[13:16], dtype=dt,
                 )
                 start_idx = i + 1
                 print(f"[euroc] static init at t={t:.3f}")
@@ -390,7 +414,7 @@ def main():
                           f"bg {np.asarray(bg_m).round(4)}, ba {np.asarray(ba_m).round(3)})")
             if bool(ok):
                 state = init_state_with_gt(eng, cfg, t0=t, q0=q0_, p0=jnp.zeros(3), v0=v0_,
-                                           bg0=bg0_, ba0=ba0_)
+                                           bg0=bg0_, ba0=ba0_, dtype=dt)
                 # Dynamic init is NOT gt-grade: inflate the seed covariance
                 # (the reference's init_dyn_inflation_* on the MLE posterior;
                 # ov_init DynamicInitializer orientation/velocity/bias terms).
@@ -405,7 +429,8 @@ def main():
                 start_idx = i + 1
                 # Reset the tracking state for the filtered run.
                 pipe.fe.prev_pyr = None
-                bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+                bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones,
+                                          dtype=dt)
                 print(f"[euroc] dynamic init at t={t:.3f} (|g| err {float(g_err):.2f})")
                 break
     if state is None:
@@ -442,6 +467,8 @@ def main():
         # would append a new feature's pixels to an old landmark's history).
         pipe.fe.next_id = (int(meta["next_id"]) if "next_id" in meta
                            else int(np.asarray(bank.fid).max()) + 1_000_000)
+        if fdrv is not None:
+            fev = fdrv.init_frontend(first_id=pipe.fe.next_id)
         print(f"[euroc] resumed from {args.ckpt} at frame index {start_idx} "
               f"({len(times)} frames already recorded)")
     # Host-ingest pipeline: decode frames 2 ahead on a background thread so
@@ -487,54 +514,90 @@ def main():
                 for k in range(len(chunk)):
                     odom_rows.append((float(chunk[k]), np.asarray(imu16_b[k])))
         t0 = time.perf_counter()
-        obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg], imu_w=imu_w[seg], t_new=t)
-        t1 = time.perf_counter()
-        frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
-        state, bank, out = step(eng, state, bank, frame)
-        jax.block_until_ready(out.p)
-        t2 = time.perf_counter()
+        if fdrv is not None:
+            # One-dispatch fused step: build the fixed-width IMU window, run
+            # the device program, and read the pose in a single pull (every
+            # device->host transfer is a tunnel round trip). Plane stats,
+            # the track table, and counters ride the driver's packed pull
+            # (one frame of pipeline lag — the driver overlaps it with the
+            # next dispatch).
+            it_w = np.full(W, np.inf)
+            iw_w = np.zeros((W, 3))
+            ia_w = np.zeros((W, 3))
+            m = imu_t[seg].shape[0]
+            it_w[:m], iw_w[:m], ia_w[:m] = imu_t[seg], imu_w[seg], imu_a[seg]
+            state, bank, fev, out = fdrv.step_stream(
+                state, bank, fev, img, it_w, iw_w, ia_w, t)
+            pq = np.asarray(jnp.concatenate([out.p, out.q.astype(out.p.dtype)]))
+            p_np, q_np = pq[0:3], pq[3:7]
+            t1 = t0 + fdrv.last_times.get("device", 0.0)
+            t2 = time.perf_counter()
+            cnt = fdrv.last_counters[0]
+            pstats = dict(fdrv.last_plane_stats[0])
+            pstats["state planes"] = float(cnt[2])
+            pstats["num constraint updates"] = float(cnt[1])
+            last_tri = fdrv.last_tri[0]
+            f2p_map = fdrv.trackers[0].feat_to_plane
+            n_bank_i, n_slam_i, n_planes_i = int(cnt[4]), -1, int(cnt[2])
+        else:
+            obs = pipe.process_image(img, state, bank, imu_t=imu_t[seg],
+                                     imu_w=imu_w[seg], t_new=t)
+            t1 = time.perf_counter()
+            frame = pipe.make_frame(obs, imu_t[seg], imu_w[seg], imu_a[seg], t)
+            state, bank, out = step(eng, state, bank, frame)
+            jax.block_until_ready(out.p)
+            t2 = time.perf_counter()
+            p_np, q_np = np.asarray(out.p), np.asarray(out.q)
+            pstats = dict(pipe.last_plane_stats)
+            pstats["state planes"] = float(out.n_planes)
+            if out.n_plane_constraints is not None:
+                pstats["num constraint updates"] = float(out.n_plane_constraints)
+            last_tri = pipe.last_tri
+            f2p_map = pipe.fe.plane_tracker.feat_to_plane
+            n_bank_i, n_slam_i, n_planes_i = (int(out.n_bank), int(out.n_slam),
+                                              int(out.n_planes))
         rec.add(t, {"tracking": t1 - t0, "total": t2 - t0})
-        pstats = dict(pipe.last_plane_stats)
-        if pmap is not None and pipe.last_tri is not None:
-            lids_m, _, lp3_m, lok_m = pipe.last_tri
-            pmap.add_frame(lids_m, lp3_m, lok_m, pipe.fe.plane_tracker.feat_to_plane)
-        pstats["state planes"] = float(out.n_planes)
-        if out.n_plane_constraints is not None:
-            pstats["num constraint updates"] = float(out.n_plane_constraints)
+        if pmap is not None and last_tri is not None:
+            lids_m, _, lp3_m, lok_m = last_tri
+            pmap.add_frame(lids_m, lp3_m, lok_m, f2p_map)
         prec.add(t, pstats)
         times.append(t)
-        poss.append(np.asarray(out.p))
-        quats.append(np.asarray(out.q))
+        poss.append(p_np)
+        quats.append(q_np)
         n_done += 1
         # Packs are numbered by the dataset frame index (stable across
         # --resume; n_done restarts at 0 there and would overwrite).
-        if args.loop_out and n_done % args.loop_every == 0 and pipe.last_tri is not None:
+        if args.loop_out and n_done % args.loop_every == 0 and last_tri is not None:
             from ov_plane_tpu.eval.loopclosure import loop_pack, save_pack
             from ov_plane_tpu.models.jacobians import clone_set_from_state as _csfs
             from ov_plane_tpu.ops.quat import quat_2_rot as _q2r2
 
             cl2 = _csfs(state)
             newest2 = int(np.asarray(state.newest_clone_slot))
-            lids, luv, lp3, lok = pipe.last_tri
+            lids, luv, lp3, lok = last_tri
             pack = loop_pack(
-                t, np.asarray(out.q), np.asarray(out.p),
+                t, q_np, p_np,
                 np.asarray(cl2.R_GtoC[newest2]), np.asarray(cl2.p_CinG[newest2]),
                 np.asarray(state.calib_cam), np.asarray(state.cam_zeta),
                 lids, luv, lp3, lok, cfg.cam_wh,
             )
             save_pack(args.loop_out, i, pack)
         # Per-frame state print at DEBUG verbosity (VioManager.cpp:956-985).
+        # (calib_dt only on the host path — reading it under --fused would
+        # cost a device pull per frame.)
+        dt_s = f"dt={float(state.calib_dt):+.5f} " if fdrv is None else ""
         printer.print_debug(
-            f"state t={t:.3f} q={np.asarray(out.q).round(4)} p={np.asarray(out.p).round(3)} "
-            f"dt={float(state.calib_dt):+.5f} bank={int(out.n_bank)} "
-            f"slam={int(out.n_slam)} planes={int(out.n_planes)}"
+            f"state t={t:.3f} q={q_np.round(4)} p={p_np.round(3)} "
+            f"{dt_s}bank={n_bank_i} slam={n_slam_i} planes={n_planes_i}"
         )
         if args.ckpt and n_done % args.ckpt_every == 0:
             from ov_plane_tpu.utils.checkpoint import save_npz
 
             save_npz(args.ckpt, state, bank)
             np.savez(args.ckpt + ".meta.npz",
-                     next_frame=i + args.downsample, next_id=pipe.fe.next_id,
+                     next_frame=i + args.downsample,
+                     next_id=(int(fev.next_id) if fdrv is not None
+                              else pipe.fe.next_id),
                      times=np.asarray(times),
                      poss=np.asarray(poss), quats=np.asarray(quats),
                      # Recorder rows too, so post-resume CSVs cover the same
@@ -546,10 +609,12 @@ def main():
             _save_viz_images(args.viz_dir, n_done, img, pipe.fe)
         if n_done % 50 == 0:
             mstat = f", map={pmap.stats()['n_points']}pts" if pmap is not None else ""
-            print(f"[euroc] {n_done} frames, t={t:.2f}, p={np.asarray(out.p).round(3)}, "
-                  f"bank={int(out.n_bank)}, slam={int(out.n_slam)}, planes={int(out.n_planes)}{mstat}")
+            print(f"[euroc] {n_done} frames, t={t:.2f}, p={p_np.round(3)}, "
+                  f"bank={n_bank_i}, slam={n_slam_i}, planes={n_planes_i}{mstat}")
 
     frames_it.close()  # early --max-frames break leaves the producer parked otherwise
+    if fdrv is not None:
+        fdrv.flush_stream()  # drain the pipelined pull (final frame's stats)
     eio.write_tum(args.out, np.asarray(times), np.asarray(poss), np.asarray(quats))
     rec.write(args.timing)
     if args.plane_csv:

@@ -134,6 +134,44 @@ def test_fused_vision_tracks_and_filters():
 
 
 @pytest.mark.slow
+def test_fused_batch_sharded_matches_unsharded():
+    """The fused vision step sharded over a dp mesh (streams -> devices,
+    multi-chip vision serving) produces the same filter trajectories as the
+    single-device vmapped batch — the vision-path analog of the sim path's
+    sharded-replay equivalence (tests/test_parallel.py)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg, eng, state, bank, sim, frames, n = _setup()
+    n = min(n, 6)
+    B = 4
+    rng = np.random.default_rng(3)
+    noise = rng.normal(0.0, 0.01, (B, *frames[0].shape)).astype(np.float32)
+
+    def run(drv):
+        fev = drv.init_frontend()
+        states = jax.tree.map(lambda x: jnp.stack([x] * B), state)
+        banks = jax.tree.map(lambda x: jnp.stack([x] * B), bank)
+        fevs = jax.tree.map(lambda x: jnp.stack([x] * B), fev)
+        for i in range(1, n + 1):
+            it, iw, ia = _imu_window(cfg, sim, i)
+            imgs = np.clip(frames[i - 1][None] + noise, 0.0, 1.0)
+            states, banks, fevs, out = drv.step_batch(
+                states, banks, fevs, imgs,
+                np.tile(it, (B, 1)), np.tile(iw, (B, 1, 1)), np.tile(ia, (B, 1, 1)),
+                np.full(B, float(sim.cam_t_imu[i])))
+        return np.asarray(out.p), np.asarray(out.q)
+
+    p_ref, q_ref = run(FusedVisionDriver(cfg, eng, batch=B))
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("dp",))
+    p_sh, q_sh = run(FusedVisionDriver(cfg, eng, batch=B, mesh=mesh))
+    # Per-shard compilation reassociates f32 reductions; equivalence is to
+    # rounding (measured 3e-8), not bitwise.
+    np.testing.assert_allclose(p_sh, p_ref, atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(q_sh, q_ref, atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_fused_batch_matches_itself_and_stays_bounded():
     """vmapped stream batch: identical streams stay identical members, and
     the batched driver's filters stay bounded (the batched vision replay —
