@@ -214,6 +214,7 @@ def main_vision():
         # streams (each stream gets per-stream pixel noise so the batch is
         # genuinely distinct computation — same rationale as the sim bench).
         from ov_plane_tpu.frontend.fused import FusedVisionDriver
+        from ov_plane_tpu.parallel.ingest import Prefetcher
 
         drv = FusedVisionDriver(cfg, eng, batch=Bv if Bv > 1 else 0)
         fev = drv.init_frontend()
@@ -224,6 +225,25 @@ def main_vision():
             bank = jax.tree.map(lambda x: jnp.stack([x] * Bv), bank)
             fev = jax.tree.map(lambda x: jnp.stack([x] * Bv), fev)
 
+        # Image staging pipeline: the per-stream noise add + u8 quantization
+        # (a 39 MB f32 pass at B=32) and the host→device upload (~10 MB u8
+        # ≈ 330 ms through the axon tunnel — the single largest per-frame
+        # cost) run on a background thread two frames ahead, overlapping the
+        # device compute + host plane detection of the current frame
+        # (drv.stage_image; BENCH_VISION_PREFETCH=0 restores inline staging).
+        prefetch = os.environ.get("BENCH_VISION_PREFETCH", "1") == "1"
+
+        def _make_image(i):
+            if Bv > 1:
+                return np.clip(frames[i - 1][None] + img_noise, 0.0, 1.0)
+            return frames[i - 1]
+
+        if prefetch:
+            img_iter = Prefetcher((_make_image(i) for i in range(1, n + 1)),
+                                  stage=drv.stage_image, depth=2)
+        else:
+            img_iter = (_make_image(i) for i in range(1, n + 1))
+
         t_steady = None
         t_loop0 = time.time()
         for i in range(1, n + 1):
@@ -231,17 +251,17 @@ def main_vision():
                 t_steady = time.time()
             it, iw, ia = imu_window(i)
             tn = float(sim.cam_t_imu[i])
+            img_i = next(img_iter)
             # Counters come from the driver's packed pull (reading them off
             # `out` would cost one ~30 ms relay round trip EACH).
             if Bv > 1:
-                imgs = np.clip(frames[i - 1][None] + img_noise, 0.0, 1.0)
                 state, bank, fev, out = drv.step_batch(
-                    state, bank, fev, imgs, np.tile(it, (Bv, 1)),
+                    state, bank, fev, img_i, np.tile(it, (Bv, 1)),
                     np.tile(iw, (Bv, 1, 1)), np.tile(ia, (Bv, 1, 1)),
                     np.full(Bv, tn))
             else:
                 state, bank, fev, out = drv.step_stream(
-                    state, bank, fev, frames[i - 1], it, iw, ia, tn)
+                    state, bank, fev, img_i, it, iw, ia, tn)
             cnt = drv.last_counters
             n_init += int(cnt[:, 0].sum())
             n_constr += int(cnt[:, 1].sum())

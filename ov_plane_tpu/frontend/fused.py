@@ -351,12 +351,8 @@ def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
     return new_state, new_bank, fev, out, pull
 
 
-def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
-                 t_new, label_ids, label_pid, merge_from, merge_into):
-    """Pack one frame's inputs into (image on the wire, payload f32 [n_pay]).
-
-    Two uploads per dispatch, sized for the wire. The image's wire dtype is
-    ``vopts.img_wire``:
+def _pack_image(vopts: FusedVisionOptions, img):
+    """Image → wire array (host side). The wire dtype is ``vopts.img_wire``:
 
     * ``'u8'`` — 4x less transfer than f32, which matters through the axon
       tunnel (a 32-stream f32 frame-batch is ~39 MB and measured ~1.3 s of the
@@ -368,6 +364,18 @@ def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
       (measured: the sparse-blob test scene diverges under u8 and even f16).
     * ``'f16'`` — 2x; ~2.4e-4 absolute intensity error.
     * ``'f32'`` (default) — lossless for any float source.
+    """
+    imgs = np.asarray(img, np.float32)
+    if vopts.img_wire == "u8":
+        return np.clip(np.rint(imgs * 255.0), 0.0, 255.0).astype(np.uint8)
+    if vopts.img_wire == "f16":
+        return imgs.astype(np.float16)
+    return imgs
+
+
+def _pack_payload(vopts: FusedVisionOptions, W: int, B: int, imu_t, imu_w,
+                  imu_a, t_new, label_ids, label_pid, merge_from, merge_into):
+    """Non-image inputs → one small f32 payload array [B, n_pay] (host side).
 
     The payload (3 IMU windows, label/merge arrays, t_new — a few kB) stays
     f32 in a second small array; each extra transfer costs only a ~5 ms relay
@@ -375,15 +383,6 @@ def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
     """
     cap, Q = vopts.cap, vopts.merge_slots
     n_pay = 7 * W + 2 * cap + 2 * Q + 1
-    single = np.asarray(img).ndim == 2
-    imgs = np.asarray(img, np.float32)[None] if single else np.asarray(img, np.float32)
-    B = imgs.shape[0]
-    if vopts.img_wire == "u8":
-        wire = np.clip(np.rint(imgs * 255.0), 0.0, 255.0).astype(np.uint8)
-    elif vopts.img_wire == "f16":
-        wire = imgs.astype(np.float16)
-    else:
-        wire = imgs
     bview = lambda a: np.asarray(a, np.float32).reshape(B, -1)
     pay = np.zeros((B, n_pay), np.float32)
     pay[:, :W] = bview(imu_t)
@@ -395,6 +394,20 @@ def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
     pay[:, o + 2 * cap:o + 2 * cap + Q] = bview(merge_from)
     pay[:, o + 2 * cap + Q:o + 2 * cap + 2 * Q] = bview(merge_into)
     pay[:, o + 2 * cap + 2 * Q] = np.asarray(t_new, np.float32).reshape(B)
+    return pay
+
+
+def _pack_inputs(vopts: FusedVisionOptions, W: int, img, imu_t, imu_w, imu_a,
+                 t_new, label_ids, label_pid, merge_from, merge_into):
+    """Pack one frame's inputs into (image on the wire, payload f32 [n_pay]).
+
+    Two uploads per dispatch, sized for the wire (see _pack_image /
+    _pack_payload for the dtype story)."""
+    single = np.asarray(img).ndim == 2
+    wire = _pack_image(vopts, np.asarray(img)[None] if single else img)
+    B = wire.shape[0]
+    pay = _pack_payload(vopts, W, B, imu_t, imu_w, imu_a, t_new,
+                        label_ids, label_pid, merge_from, merge_into)
     return (wire[0], pay[0]) if single else (wire, pay)
 
 
@@ -519,12 +532,14 @@ class FusedVisionDriver:
             return fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw,
                                      ia, tn, li, lp, mf, mi)
 
+        self._img_put_target = None
         if mesh is not None:
             if not batch or batch % mesh.shape["dp"] != 0:
                 raise ValueError(
                     f"batch ({batch}) must be a positive multiple of the dp "
                     f"axis size ({mesh.shape['dp']})")
             ns = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+            self._img_put_target = ns
             self._fn = jax.jit(jax.vmap(_packed_step),
                                in_shardings=(ns, ns, ns, ns, ns),
                                out_shardings=ns)
@@ -532,6 +547,27 @@ class FusedVisionDriver:
             self._fn = jax.jit(jax.vmap(_packed_step))
         else:
             self._fn = jax.jit(_packed_step)
+
+    # ------------------------------------------------------------------
+    def stage_image(self, img) -> jax.Array:
+        """Pack ``img`` to the wire dtype and start its host→device transfer
+        NOW (``jax.device_put`` is asynchronous); pass the returned device
+        array to ``step_stream``/``step_batch`` in place of the raw image.
+
+        The image is the wire-dominant input (a 32-stream u8 frame-batch is
+        ~10 MB ≈ 330 ms through the axon tunnel vs a few kB of payload), so
+        staging frame k+1 while frame k computes — from the replay loop or a
+        ``parallel.ingest.Prefetcher`` thread — takes both the u8 quantization
+        pass and the upload off the per-frame critical path."""
+        wire = _pack_image(self.vopts, img)
+        if self._img_put_target is not None:
+            return jax.device_put(wire, self._img_put_target)
+        return jax.device_put(wire)
+
+    def _wire_image(self, img) -> jax.Array:
+        if isinstance(img, jax.Array):
+            return img                      # pre-staged by stage_image
+        return jnp.asarray(_pack_image(self.vopts, img))
 
     def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
         return FusedFrontendState.create(self.vopts, first_id)
@@ -591,12 +627,13 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
-        img_u8, pay = _pack_inputs(
-            self.vopts, self._W, img, imu_t, imu_w, imu_a, t_new,
+        img_w = self._wire_image(img)
+        pay = _pack_payload(
+            self.vopts, self._W, 1, imu_t, imu_w, imu_a, t_new,
             self._label_ids[0], self._label_pid[0],
-            self._merge_from[0], self._merge_into[0])
+            self._merge_from[0], self._merge_into[0])[0]
         state, bank, fev, out, pull = self._fn(
-            state, bank, fev, jnp.asarray(img_u8), jnp.asarray(pay))
+            state, bank, fev, img_w, jnp.asarray(pay))
         if pipelined:
             prev = self._pending_pull if hasattr(self, "_pending_pull") else None
             self._pending_pull = pull                 # materialized next step
@@ -640,11 +677,12 @@ class FusedVisionDriver:
         import time as _t
 
         t0 = _t.perf_counter()
-        img_u8, pay = _pack_inputs(
-            self.vopts, self._W, imgs, imu_t, imu_w, imu_a, t_new,
+        img_w = self._wire_image(imgs)
+        pay = _pack_payload(
+            self.vopts, self._W, img_w.shape[0], imu_t, imu_w, imu_a, t_new,
             self._label_ids, self._label_pid, self._merge_from, self._merge_into)
         states, banks, fevs, out, pull = self._fn(
-            states, banks, fevs, jnp.asarray(img_u8), jnp.asarray(pay))
+            states, banks, fevs, img_w, jnp.asarray(pay))
         if pipelined:
             prev = getattr(self, "_pending_pull", None)
             self._pending_pull = pull

@@ -475,8 +475,15 @@ def main():
     # disk/JPEG work overlaps the filter step (SURVEY §2.4 item 4; the
     # reference's camera-queue + update-thread analogue).
     frame_idxs = range(start_idx, len(cam_t), args.downsample)
-    frames_it = Prefetcher(frame_idxs, stage=lambda i: (i, get_frame(i)),
-                           depth=2)
+    if fdrv is not None:
+        # Fused path: also pack the frame to its wire dtype and start the
+        # host→device upload on the background thread (fdrv.stage_image) —
+        # the image is the wire-dominant input, so its transfer overlaps the
+        # previous frame's device step instead of serializing with it.
+        _stage = lambda i: (i, fdrv.stage_image(get_frame(i)))
+    else:
+        _stage = lambda i: (i, get_frame(i))
+    frames_it = Prefetcher(frame_idxs, stage=_stage, depth=2)
     odom_rows = []  # (t, imu16) at IMU rate between updates
     if args.odom_out:
         from ov_plane_tpu.state.propagator import fast_state_propagate

@@ -196,3 +196,35 @@ def test_fused_batch_matches_itself_and_stays_bounded():
     err = np.linalg.norm(p[0] - np.asarray(sim.gt_p[n]))
     assert err < 0.5, err
     assert np.mean([int(v) for v in np.sum(np.asarray(fevs.valid), axis=1)]) > 15
+
+
+@pytest.mark.slow
+def test_fused_staged_image_matches_raw():
+    """drv.stage_image (async pack+upload, the prefetch ingest path) feeds
+    step_batch/step_stream bit-identically to passing the raw float image."""
+    import jax
+
+    cfg, eng, state, bank, sim, frames, n = _setup()
+    n = min(n, 5)
+    B = 2
+
+    def run(staged):
+        drv = FusedVisionDriver(cfg, eng, batch=B)
+        fev = drv.init_frontend()
+        states = jax.tree.map(lambda x: jnp.stack([x] * B), state)
+        banks = jax.tree.map(lambda x: jnp.stack([x] * B), bank)
+        fevs = jax.tree.map(lambda x: jnp.stack([x] * B), fev)
+        for i in range(1, n + 1):
+            it, iw, ia = _imu_window(cfg, sim, i)
+            imgs = np.stack([frames[i - 1]] * B)
+            img_in = drv.stage_image(imgs) if staged else imgs
+            states, banks, fevs, out = drv.step_batch(
+                states, banks, fevs, img_in,
+                np.tile(it, (B, 1)), np.tile(iw, (B, 1, 1)), np.tile(ia, (B, 1, 1)),
+                np.full(B, float(sim.cam_t_imu[i])))
+        return np.asarray(out.p), np.asarray(out.q)
+
+    p_raw, q_raw = run(staged=False)
+    p_st, q_st = run(staged=True)
+    np.testing.assert_array_equal(p_st, p_raw)
+    np.testing.assert_array_equal(q_st, q_raw)
