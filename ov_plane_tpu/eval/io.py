@@ -45,6 +45,11 @@ PLANE_TRACK_COLUMNS = [
     "delaunay",
     "matching",
     "total",
+    # Extension beyond the reference schema (appended so the reference's
+    # columns stay a positional prefix): qualifying out-of-state plane groups
+    # that exceeded the static per-frame update cap (the reference has no cap,
+    # UpdaterMSCKF.cpp:411-649 — nonzero here flags a capacity parity gap).
+    "dropped plane updates",
 ]
 
 

@@ -345,8 +345,10 @@ def fused_vision_step(eng: VioEngine, vopts: FusedVisionOptions,
     # The host detector also needs the camera pose the triangulations were
     # solved at (R_prevC, p_prevC) — shipping it in the same pull saves the
     # driver 3-4 separate state pulls (~30 ms RTT each through the tunnel).
+    # Slot 12 (first pad) carries the dropped-plane-group count (counter #8).
     pose_rows = jnp.concatenate([R_prevC.reshape(-1), p_prevC,
-                                 jnp.zeros(4, f32)]).reshape(2, 8)
+                                 out.n_plane_dropped.astype(f32)[None],
+                                 jnp.zeros(3, f32)]).reshape(2, 8)
     pull = jnp.concatenate([rows, counters[None, :], pose_rows], axis=0)  # [cap+3, 8]
     return new_state, new_bank, fev, out, pull
 
@@ -437,6 +439,8 @@ def _unpack(packed: "np.ndarray"):
     pose = packed[:, -2:].reshape(packed.shape[0], 16)
     R = pose[:, 0:9].reshape(-1, 3, 3).astype(np.float64)
     p = pose[:, 9:12].astype(np.float64)
+    # Counter #8 (dropped plane groups) rides the pose-row padding.
+    counters = np.concatenate([counters, pose[:, 12:13]], axis=1)
     ids = rows[..., 0].astype(np.int64)
     uv = rows[..., 1:3].astype(np.float64)
     valid = rows[..., 3] > 0.5
@@ -639,7 +643,7 @@ class FusedVisionDriver:
             self._pending_pull = pull                 # materialized next step
             if prev is None:
                 self.last_times = {"device": _t.perf_counter() - t0, "host_plane": 0.0}
-                self.last_counters = np.zeros((1, 8), np.float32)
+                self.last_counters = np.zeros((1, 9), np.float32)
                 self.last_dbg = self.last_counters[0, 5:8]
                 return state, bank, fev, out
             pull = prev
@@ -688,7 +692,7 @@ class FusedVisionDriver:
             self._pending_pull = pull
             if prev is None:
                 self.last_times = {"device": _t.perf_counter() - t0, "host_plane": 0.0}
-                self.last_counters = np.zeros((self._label_ids.shape[0], 8), np.float32)
+                self.last_counters = np.zeros((self._label_ids.shape[0], 9), np.float32)
                 self.last_dbg = self.last_counters[0, 5:8]
                 return states, banks, fevs, out
             pull = prev

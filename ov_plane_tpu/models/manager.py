@@ -86,6 +86,9 @@ class StepOutput(NamedTuple):
     n_plane_constraints: jnp.ndarray = None
     # In-state plane pairs collapsed by a frontend id merge this frame.
     n_plane_merges: jnp.ndarray = None
+    # Qualifying out-of-state plane groups beyond the static per-frame cap
+    # (the reference processes every group; nonzero = parity gap this frame).
+    n_plane_dropped: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -218,6 +221,7 @@ class VioEngine:
             chi2_multipler=cfg.msckf_options.chi2_multipler,
             plane_msckf_min_feat=cfg.state.plane_msckf_min_feat,
             plane_msckf_max_cond=cfg.state.plane_msckf_max_cond,
+            max_planes_per_frame=cfg.tpu.max_planes_per_frame,
         )
         return cls(
             layout=lay,
@@ -472,14 +476,17 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     #     (UpdaterMSCKF plane path; consumes their features).
     sel_valid_main = sel_valid
     n_plane_constraints = jnp.zeros((), jnp.int32)
+    n_plane_dropped = jnp.zeros((), jnp.int32)
     if eng.use_planes and eng.msckf_opts.use_plane_constraint:
         from ov_plane_tpu.models.plane_msckf import msckf_plane_update
 
-        pl_state, consumed_sel, _ = msckf_plane_update(state, bank, eng.plane_msckf_opts, sel_idx, sel_valid)
+        pl_state, consumed_sel, _, n_pm_drop = msckf_plane_update(
+            state, bank, eng.plane_msckf_opts, sel_idx, sel_valid)
         do_pm = can_update & past_delay
         state = jax.tree.map(lambda a, b: jnp.where(do_pm, a, b), pl_state, state)
         sel_valid_main = sel_valid & ~(consumed_sel & do_pm)
         n_plane_constraints = n_plane_constraints + jnp.sum(consumed_sel & do_pm)
+        n_plane_dropped = n_plane_dropped + jnp.where(do_pm, n_pm_drop, 0).astype(jnp.int32)
 
     # 6b. MSCKF update (plane rows for features whose plane is a state).
     sel_uv = bank.uv[sel_idx]
@@ -572,6 +579,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         n_plane_init=n_plane_init,
         n_plane_constraints=n_plane_constraints,
         n_plane_merges=n_plane_merges,
+        n_plane_dropped=n_plane_dropped,
     )
     return state, bank, out
 

@@ -35,7 +35,16 @@ class PlaneMsckfOptions(NamedTuple):
     chi2_multipler: float = 5.0
     plane_msckf_min_feat: int = 5
     plane_msckf_max_cond: float = 50.0
-    max_planes_per_frame: int = 2
+    # Static bound on grouped plane updates per frame. The reference has NO
+    # such cap — it processes every plane group in the frame
+    # (UpdaterMSCKF.cpp:411-649) — but a fixed-shape XLA program needs one.
+    # It is plumbed from config (`tpu.max_planes_per_frame`) and sized so the
+    # cap is unreachable at default gates: each group needs
+    # plane_msckf_min_feat (5) members inside the M-feature MSCKF selection,
+    # so M=40 admits at most 8 qualifying groups. Groups that DO overflow are
+    # counted and surfaced (StepOutput.n_plane_dropped + the plane CSV), never
+    # silently discarded.
+    max_planes_per_frame: int = 8
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -44,7 +53,11 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
     """Grouped plane updates over the MSCKF selection.
 
     sel_idx/sel_valid: the frame's MSCKF feature selection [M].
-    Returns (new_state, consumed_sel_mask[M], n_plane_updates).
+    Returns (new_state, consumed_sel_mask[M], n_plane_updates, n_dropped):
+    n_dropped counts qualifying plane groups beyond the static
+    ``max_planes_per_frame`` cap (support ≥ plane_msckf_min_feat but not
+    selected) — the reference processes every group, so a nonzero count here
+    flags a capacity parity gap for the frame.
     """
     lay = state.layout
     K = lay.max_clones
@@ -69,6 +82,10 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
     score = jnp.where(is_first & (count >= opts.plane_msckf_min_feat), count, -1)
     cand_scores, cand_pos = jax.lax.top_k(score, opts.max_planes_per_frame)
     cand_pids = jnp.where(cand_scores > 0, pid[cand_pos], -1)
+    # Qualifying groups that did NOT fit under the static cap (visibility:
+    # the reference has no cap, UpdaterMSCKF.cpp:411-649).
+    n_qualifying = jnp.sum(score > 0)
+    n_dropped = jnp.maximum(n_qualifying - opts.max_planes_per_frame, 0)
 
     consumed = jnp.zeros((M,), bool)
 
@@ -146,4 +163,4 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
     (state, consumed), updated = jax.lax.scan(
         body, (state, consumed), jnp.arange(opts.max_planes_per_frame)
     )
-    return state, consumed, jnp.sum(updated)
+    return state, consumed, jnp.sum(updated), n_dropped

@@ -191,6 +191,11 @@ class TpuOptions:
     max_obs_per_frame: int = 512   # per-frame measurement slots fed by frontend/sim
     max_planes: int = 8            # CP plane state slots
     max_msckf_update: int = 64     # features per MSCKF update batch
+    # Grouped out-of-state plane updates per frame (the reference processes
+    # every group, UpdaterMSCKF.cpp:411-649; this static bound is unreachable
+    # at default gates — see PlaneMsckfOptions — and overflow is counted in
+    # StepOutput.n_plane_dropped + the plane CSV, never silent).
+    max_planes_per_frame: int = 8
     max_imu_per_frame: int = 64    # IMU samples per camera frame (400/10 Hz = 40 + slack)
     dtype_filter: str = "float64"  # covariance/EKF math dtype
     dtype_frontend: str = "float32"  # image/feature math dtype

@@ -543,6 +543,8 @@ def main():
             pstats = dict(fdrv.last_plane_stats[0])
             pstats["state planes"] = float(cnt[2])
             pstats["num constraint updates"] = float(cnt[1])
+            if cnt.shape[0] > 8:
+                pstats["dropped plane updates"] = float(cnt[8])
             last_tri = fdrv.last_tri[0]
             f2p_map = fdrv.trackers[0].feat_to_plane
             n_bank_i, n_slam_i, n_planes_i = int(cnt[4]), -1, int(cnt[2])
@@ -559,6 +561,8 @@ def main():
             pstats["state planes"] = float(out.n_planes)
             if out.n_plane_constraints is not None:
                 pstats["num constraint updates"] = float(out.n_plane_constraints)
+            if out.n_plane_dropped is not None:
+                pstats["dropped plane updates"] = float(out.n_plane_dropped)
             last_tri = pipe.last_tri
             f2p_map = pipe.fe.plane_tracker.feat_to_plane
             n_bank_i, n_slam_i, n_planes_i = (int(out.n_bank), int(out.n_slam),
@@ -632,6 +636,10 @@ def main():
         eio.write_tum(args.odom_out, ot, o16[:, 4:7], o16[:, 0:4])
         print(f"[euroc] wrote IMU-rate odometry {args.odom_out} ({len(ot)} poses)")
     print(f"[euroc] wrote {args.out} ({n_done} frames)")
+    n_dropped_total = int(sum(r[12] for r in prec.rows if len(r) > 12))
+    if n_dropped_total:
+        print(f"[euroc] WARNING: {n_dropped_total} qualifying plane groups exceeded "
+              f"tpu.max_planes_per_frame and were dropped (raise the cap for parity)")
     if pmap is not None:
         st = pmap.stats()
         print(f"[euroc] persistent map: {st['n_points']} pts / {st['n_planes']} planes "

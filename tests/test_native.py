@@ -58,6 +58,95 @@ def test_delaunay_small_and_degenerate():
     assert len(tris) >= 2
 
 
+def _exact_incircle(a, b, c, d):
+    """Exact-sign incircle via the native adaptive predicate."""
+    import ctypes
+
+    lib = native._build_and_load("delaunay")
+    lib.delaunay_incircle.restype = ctypes.c_double
+    P = ctypes.POINTER(ctypes.c_double)
+    arrs = [np.ascontiguousarray(p, np.float64) for p in (a, b, c, d)]
+    return lib.delaunay_incircle(*[x.ctypes.data_as(P) for x in arrs])
+
+
+def _check_delaunay_certificate(pts, tris):
+    """The Delaunay certificate: no input point strictly inside any triangle's
+    circumcircle, every triangle CCW and non-degenerate (exact arithmetic —
+    this is the definition, not an approximation)."""
+    from fractions import Fraction
+
+    def o2d(a, b, c):
+        ax, ay = Fraction(a[0]), Fraction(a[1])
+        bx, by = Fraction(b[0]), Fraction(b[1])
+        cx, cy = Fraction(c[0]), Fraction(c[1])
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        assert o2d(a, b, c) > 0, f"triangle {t} not strictly CCW"
+        for j, p in enumerate(pts):
+            if j in set(int(v) for v in t):
+                continue
+            assert _exact_incircle(a, b, c, p) <= 0.0, (
+                f"point {j} strictly inside circumcircle of {t}")
+
+
+def test_delaunay_integer_pixel_grid():
+    """The REAL input class: FAST detections on an occupancy grid produce
+    integer pixels with massively collinear/cocircular structure (every unit
+    square is a cocircular quad). Reference vendors Shewchuk's exact
+    predicates for exactly this (thirdparty/cdt/predicates.h)."""
+    R, C = 6, 8
+    yy, xx = np.mgrid[0:R, 0:C]
+    pts = np.stack([xx.ravel() * 40.0, yy.ravel() * 40.0], axis=1)  # 40 px pitch
+    tris = native.delaunay(pts)
+    # Euler count for a full grid triangulation: 2(R-1)(C-1) triangles.
+    assert len(tris) == 2 * (R - 1) * (C - 1), len(tris)
+    _check_delaunay_certificate(pts, tris)
+    # Total area must tile the rectangle exactly.
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    area = 0.5 * np.abs(np.cross(b - a, c - a)).sum()
+    assert area == (C - 1) * 40.0 * (R - 1) * 40.0
+
+
+def test_delaunay_collinear_rows():
+    # Fully collinear input: no valid triangle exists.
+    row = np.stack([np.arange(10.0) * 7.0, np.full(10, 3.0)], axis=1)
+    assert len(native.delaunay(row)) == 0
+    # Collinear row + one apex: a fan of n-1 triangles.
+    pts = np.concatenate([row, [[35.0, 50.0]]])
+    tris = native.delaunay(pts)
+    assert len(tris) == 9, len(tris)
+    _check_delaunay_certificate(pts, tris)
+
+
+def test_delaunay_cocircular_ring():
+    # 12 points EXACTLY on the circle x^2 + y^2 = 25 (integer coordinates):
+    # every incircle test among them is an exact tie.
+    ring = [(5, 0), (4, 3), (3, 4), (0, 5), (-3, 4), (-4, 3), (-5, 0),
+            (-4, -3), (-3, -4), (0, -5), (3, -4), (4, -3)]
+    pts = np.asarray(ring, np.float64)
+    tris = native.delaunay(pts)
+    assert len(tris) == len(pts) - 2, len(tris)  # any fan of the convex polygon
+    _check_delaunay_certificate(pts, tris)
+
+
+def test_delaunay_duplicates_match_dedup():
+    rng = np.random.default_rng(3)
+    base = np.round(rng.uniform(0, 640, size=(40, 2)))  # integer pixels
+    dup = np.concatenate([base, base[::3]])             # exact duplicates
+    tris_dup = native.delaunay(dup)
+    tris_base = native.delaunay(base)
+
+    def canon(ts):
+        return set(tuple(sorted(int(v) for v in t)) for t in ts)
+
+    # Duplicate rows beyond the first occurrence must be ignored; indices of
+    # the originals are < len(base) so the triangle sets are comparable.
+    assert canon(tris_dup) == canon(tris_base)
+    _check_delaunay_certificate(base, tris_base)
+
+
 def test_voxel_map_knn_matches_bruteforce():
     pts = RNG.normal(size=(500, 3)) * 3
     ids = np.arange(500, dtype=np.int32)
