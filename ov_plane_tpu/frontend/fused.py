@@ -486,16 +486,15 @@ class FusedVisionDriver:
             # into latency-bound gathers on the TPU. Measured on the v5e at
             # B=32 (track-alone, net of the tunnel RTT): slice ~158 ms, mm
             # (f32, exact ≡ slice to 1e-5 px) ~21 ms, mm_bf16 ~4.6 ms with
-            # equal-or-better track survival. 'mm' is the default because
-            # bf16 patch quantization — like any image quantization — is
-            # measurably harmful on dim low-gradient scenes (the sparse-blob
-            # e2e diverges; same mechanism as the u8 wire, see _pack_inputs);
-            # on textured/real imagery mm_bf16 deviates ≤0.03 px and the
-            # bench opts in via OVP_KLT_SAMPLER=mm_bf16.
+            # equal-or-better track survival. Default 'auto': mm_bf16 iff the
+            # source image is 8-bit-representable (see wire_guard.py — bf16
+            # patch rounding is then at/below the source's own quantization
+            # floor; on float sources with sub-quantum signal the exact 'mm'
+            # path is kept). Resolved against the first image.
             klt=fklt.KltOptions(
                 levels=5, window=7, iters=8,
                 fb_check=os.environ.get("OVP_KLT_FB", "0") == "1",
-                sampler=os.environ.get("OVP_KLT_SAMPLER", "mm")),
+                sampler=os.environ.get("OVP_KLT_SAMPLER", "auto")),
             fast=ffast.FastOptions(
                 threshold=cfg.fast_threshold / 255.0,
                 grid_x=cfg.grid_x, grid_y=cfg.grid_y,
@@ -510,12 +509,27 @@ class FusedVisionDriver:
             max_cond=cfg.trackplane.max_cond_number,
             max_ray_rms_rel=cfg.trackplane.max_ray_rms_rel,
             max_ray_rms_abs=cfg.trackplane.max_ray_rms_abs,
-            img_wire=os.environ.get("OVP_IMG_WIRE", "f32"),
+            # 'auto': u8 iff the source is already on the 8-bit lattice (the
+            # wire is then bit-lossless — real cameras/EuRoC PNGs are u8);
+            # f32 otherwise. Resolved against the first image (wire_guard.py).
+            img_wire=os.environ.get("OVP_IMG_WIRE", "auto"),
         )
         self.eng = eng
         self.B = batch
         n = max(batch, 1)
         self.trackers = [PlaneTracker(cfg.trackplane) for _ in range(n)]
+        # The B per-stream plane detectors are independent (distinct
+        # PlaneTracker instances, distinct label/merge rows), so they can run
+        # on a thread pool: numpy and the ctypes Delaunay call release the
+        # GIL, and at B=32 the serial loop (~2.8 ms/stream) is the largest
+        # host cost once images are device-resident. OVP_PLANE_THREADS=N
+        # opts in (0/1 = serial, the default).
+        n_thr = int(os.environ.get("OVP_PLANE_THREADS", "0"))
+        self._plane_pool = None
+        if n_thr > 1 and n > 1:
+            import concurrent.futures as _cf
+
+            self._plane_pool = _cf.ThreadPoolExecutor(max_workers=n_thr)
         cap_arr = self.vopts.cap
         self._label_ids = np.full((n, cap_arr), -1, np.int32)
         self._label_pid = np.full((n, cap_arr), -1, np.int32)
@@ -524,6 +538,11 @@ class FusedVisionDriver:
         self._merge_into = np.full((n, Q), -1, np.int32)
         self.last_plane_stats = [{} for _ in range(n)]
         self.last_tri = [None] * n
+        # 'auto' wire/sampler resolve against the first image (wire_guard.py).
+        self._guard_resolved = (self.vopts.img_wire != "auto"
+                                and self.vopts.klt.sampler != "auto")
+        self._guard_frame = 0
+        self.wire_guard_info = None
 
         # Two wire-sized uploads per dispatch (see _pack_inputs): the step
         # takes (state, bank, fev, img_u8[h, w], payload[n_pay]) and unpacks
@@ -553,6 +572,43 @@ class FusedVisionDriver:
             self._fn = jax.jit(_packed_step)
 
     # ------------------------------------------------------------------
+    def _resolve_guard(self, img):
+        """Resolve 'auto' wire/sampler against the first image and recheck
+        u8-losslessness on a sampled cadence afterwards (wire_guard.py: the
+        quantized fast modes are taken only when quantization is exactly
+        lossless — the source already lives on the 8-bit lattice).
+
+        A mid-stream regime flip (a frame off the lattice while wire='u8')
+        downgrades the wire to f32 for subsequent frames with a warning; the
+        input-dtype change just retraces the same program."""
+        from ov_plane_tpu.frontend import wire_guard as wg
+
+        if isinstance(img, jax.Array):      # pre-staged: already resolved
+            return
+        vo = self.vopts
+        if not self._guard_resolved:
+            wire, sampler, info = wg.resolve_wire_and_sampler(
+                img, vo.img_wire, vo.klt.sampler)
+            self.vopts = vo._replace(img_wire=wire,
+                                     klt=vo.klt._replace(sampler=sampler))
+            self.wire_guard_info = info
+            self._guard_resolved = True
+            if info["reason"] is not None:
+                print(f"[fused] wire guard: wire={wire} sampler={sampler} "
+                      f"({info['reason']})")
+            return
+        # Sampled recheck: representability is a property of the data
+        # pipeline, not scene content, so a cheap every-16th-frame check
+        # catches a source switch without taxing the per-frame path.
+        self._guard_frame += 1
+        if (self.vopts.img_wire == "u8" and self._guard_frame % 16 == 0
+                and not wg.u8_representable(img)):
+            print("[fused] wire guard: frame left the 8-bit lattice — "
+                  "downgrading wire u8 -> f32 (this frame shipped quantized)")
+            self.vopts = self.vopts._replace(img_wire="f32")
+            self.wire_guard_info = dict(self.wire_guard_info or {},
+                                        wire="f32", downgraded=True)
+
     def stage_image(self, img) -> jax.Array:
         """Pack ``img`` to the wire dtype and start its host→device transfer
         NOW (``jax.device_put`` is asynchronous); pass the returned device
@@ -563,6 +619,7 @@ class FusedVisionDriver:
         staging frame k+1 while frame k computes — from the replay loop or a
         ``parallel.ingest.Prefetcher`` thread — takes both the u8 quantization
         pass and the upload off the per-frame critical path."""
+        self._resolve_guard(img)
         wire = _pack_image(self.vopts, img)
         if self._img_put_target is not None:
             return jax.device_put(wire, self._img_put_target)
@@ -571,6 +628,7 @@ class FusedVisionDriver:
     def _wire_image(self, img) -> jax.Array:
         if isinstance(img, jax.Array):
             return img                      # pre-staged by stage_image
+        self._resolve_guard(img)
         return jnp.asarray(_pack_image(self.vopts, img))
 
     def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
@@ -701,7 +759,16 @@ class FusedVisionDriver:
         (ids, uv, valid, p3, ok3, self.last_counters,
          self._R_GtoC, self._p_CinG) = _unpack(packed)
         self.last_dbg = self.last_counters[0, 5:8]
-        for s in range(ids.shape[0]):
-            self._host_plane_update(s, ids[s], uv[s], valid[s], p3[s], ok3[s])
+        self._run_plane_detectors(ids, uv, valid, p3, ok3)
         self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
         return states, banks, fevs, out
+
+    def _run_plane_detectors(self, ids, uv, valid, p3, ok3):
+        B = ids.shape[0]
+        if self._plane_pool is not None:
+            list(self._plane_pool.map(
+                lambda s: self._host_plane_update(
+                    s, ids[s], uv[s], valid[s], p3[s], ok3[s]), range(B)))
+        else:
+            for s in range(B):
+                self._host_plane_update(s, ids[s], uv[s], valid[s], p3[s], ok3[s])
