@@ -271,6 +271,74 @@ def read_bag(path: str, imu_topic: str, cam_topic: str):
     return imu_t, imu_w, imu_a, cam_t, imgs
 
 
+def read_bag_stereo(path: str, imu_topic: str, cam_topics: List[str],
+                    pair_tol: float = 0.02):
+    """Decode a bag with N time-synced camera streams, pairing frames by
+    timestamp (the serial driver's stereo ingestion,
+    ros1_serial_msckf.cpp:196-254): for each frame of the anchor camera
+    (``cam_topics[0]``), every other camera must have its NEXT frame (the
+    first at/after the anchor stamp, each consumed at most once) within
+    ``pair_tol`` seconds; anchor frames without a complete set are skipped —
+    they aren't a synced pair.
+
+    Returns (imu_t, imu_w, imu_a, cam_t, imgs_by_cam, n_unpaired):
+    ``imgs_by_cam[k][i]`` is camera k's image of synced pair i, ``cam_t`` the
+    anchor stamps. The estimator itself is monocular (the reference's
+    TrackPlane hard-exits on >1 camera, TrackPlane.cpp:85-91), so replay
+    drivers feed ``imgs_by_cam[0]`` — the parity point is the pairing/skip
+    ingestion semantics of the reference binary.
+    """
+    bag = BagReader(path)
+    imu_rows: List[Tuple[float, np.ndarray, np.ndarray]] = []
+    frames: Dict[str, List[Tuple[float, np.ndarray]]] = {t: [] for t in cam_topics}
+    for topic, typ, _t_recv, payload in bag.read_messages(set(cam_topics) | {imu_topic}):
+        if topic == imu_topic:
+            imu_rows.append(_parse_imu(payload))
+        elif typ.endswith("CompressedImage"):
+            frames[topic].append(_parse_compressed_image(payload))
+        else:
+            frames[topic].append(_parse_image(payload))
+    imu_rows.sort(key=lambda r: r[0])
+    for t in cam_topics:
+        frames[t].sort(key=lambda r: r[0])
+
+    anchor = frames[cam_topics[0]]
+    others = [frames[t] for t in cam_topics[1:]]
+    ptrs = [0] * len(others)
+    paired_idx: List[List[int]] = []
+    n_unpaired = 0
+    for ai, (t0, _img) in enumerate(anchor):
+        row = [ai]
+        ok = True
+        for j, fj in enumerate(others):
+            # First not-yet-consumed frame at/after the anchor stamp.
+            p = ptrs[j]
+            while p < len(fj) and fj[p][0] < t0 - 1e-9:
+                p += 1
+            ptrs[j] = p
+            if p < len(fj) and abs(fj[p][0] - t0) < pair_tol:
+                row.append(p)
+            else:
+                ok = False
+                break
+        if ok:
+            paired_idx.append(row)
+            for j in range(len(others)):     # consume the partners
+                ptrs[j] = row[1 + j] + 1
+        else:
+            n_unpaired += 1
+
+    imu_t = np.asarray([r[0] for r in imu_rows])
+    imu_w = np.stack([r[1] for r in imu_rows]) if imu_rows else np.zeros((0, 3))
+    imu_a = np.stack([r[2] for r in imu_rows]) if imu_rows else np.zeros((0, 3))
+    cam_t = np.asarray([anchor[row[0]][0] for row in paired_idx])
+    imgs_by_cam = [[anchor[row[0]][1] for row in paired_idx]]
+    for j, fj in enumerate(others):
+        imgs_by_cam.append([fj[row[1 + j]][1] for row in paired_idx])
+        n_unpaired += len(fj) - len(paired_idx)  # partners never consumed
+    return imu_t, imu_w, imu_a, cam_t, imgs_by_cam, n_unpaired
+
+
 # ---------------------------------------------------------------------------
 # Minimal writer (single uncompressed chunk) — test/round-trip support only.
 # ---------------------------------------------------------------------------

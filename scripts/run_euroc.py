@@ -112,7 +112,9 @@ def main():
     ap.add_argument("--bag", default="", help="replay directly from a ROS1 .bag "
                     "(ros1_serial_msckf.cpp:132-190 semantics; no conversion step)")
     ap.add_argument("--imu-topic", default="/imu0")
-    ap.add_argument("--cam-topic", default="/cam0/image_raw")
+    ap.add_argument("--cam-topic", default="/cam0/image_raw",
+                    help="camera topic; comma-separated list enables stereo "
+                         "timestamp pairing (cam0 of each synced pair is fed)")
     ap.add_argument("--gt", default="", help="optional ASL gt csv (for --bag replays "
                     "whose gt ships outside the bag, e.g. AR-Table)")
     ap.add_argument("--config", default=None, help="estimator_config.yaml (reference format)")
@@ -250,11 +252,24 @@ def main():
     if args.bag:
         # Direct bag replay (the reference's serial driver indexes the bag and
         # drains messages in stamp order, ros1_serial_msckf.cpp:132-280; the
-        # pure-python reader does the same indexing + stamp sort).
-        from ov_plane_tpu.eval.rosbag import read_bag
+        # pure-python reader does the same indexing + stamp sort). A
+        # comma-separated --cam-topic list enables the serial driver's STEREO
+        # ingestion (timestamp pairing, unpaired frames skipped,
+        # ros1_serial_msckf.cpp:196-254); the estimator stays monocular — the
+        # reference's TrackPlane hard-exits on >1 camera (TrackPlane.cpp:85-91)
+        # — so cam0 of each synced pair is fed.
+        from ov_plane_tpu.eval.rosbag import read_bag, read_bag_stereo
 
-        imu_t, imu_w, imu_a, cam_t, bag_imgs = read_bag(
-            args.bag, args.imu_topic, args.cam_topic)
+        cam_topics = [t.strip() for t in args.cam_topic.split(",") if t.strip()]
+        if len(cam_topics) > 1:
+            imu_t, imu_w, imu_a, cam_t, imgs_by_cam, n_unpaired = read_bag_stereo(
+                args.bag, args.imu_topic, cam_topics)
+            bag_imgs = imgs_by_cam[0]
+            print(f"[euroc] stereo pairing: {len(cam_t)} synced pairs across "
+                  f"{len(cam_topics)} cameras, {n_unpaired} unpaired frames skipped")
+        else:
+            imu_t, imu_w, imu_a, cam_t, bag_imgs = read_bag(
+                args.bag, args.imu_topic, cam_topics[0])
         bag_imgs = [np.asarray(im, np.float32) / 255.0 if im.dtype == np.uint8
                     else np.asarray(im, np.float32) for im in bag_imgs]
 

@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from ov_plane_tpu.eval.rosbag import (
-    BagReader, read_bag, serialize_image, serialize_imu, write_bag,
+    BagReader, read_bag, read_bag_stereo, serialize_image, serialize_imu,
+    write_bag,
 )
 
 
@@ -79,6 +80,53 @@ def test_bag_to_asl_converter(tmp_path):
     assert len(cam_rows) - 1 == len(img_t)
     first = cam_rows[1].split(",")[1]
     assert os.path.exists(os.path.join(base, "cam0", "data", first))
+
+
+def test_stereo_pairing(tmp_path):
+    """Timestamp pairing of stereo streams ≡ ros1_serial_msckf.cpp:196-254:
+    synced pairs form within 20 ms; frames with no partner are skipped."""
+    rng = np.random.default_rng(7)
+    msgs = []
+    imu_t = 100.0 + np.arange(20) * 0.01
+    for t in imu_t:
+        msgs.append(("/imu0", "sensor_msgs/Imu", t,
+                     serialize_imu(t, np.zeros(3), [0, 0, 9.81])))
+    # cam0 at 10 Hz; cam1 5 ms later (synced) EXCEPT:
+    #  - pair 2: cam1 frame missing entirely
+    #  - pair 4: cam1 frame 50 ms late (outside the 20 ms tolerance)
+    img = lambda: rng.uniform(size=(24, 32))
+    cam0_t = 100.0 + np.arange(6) * 0.1
+    imgs0 = {t: img() for t in cam0_t}
+    for t in cam0_t:
+        msgs.append(("/cam0/image_raw", "sensor_msgs/Image", t,
+                     serialize_image(t, imgs0[t])))
+    imgs1 = {}
+    for k, t in enumerate(cam0_t):
+        if k == 2:
+            continue
+        t1 = t + (0.05 if k == 4 else 0.005)
+        imgs1[t1] = img()
+        msgs.append(("/cam1/image_raw", "sensor_msgs/Image", t1,
+                     serialize_image(t1, imgs1[t1])))
+    path = str(tmp_path / "stereo.bag")
+    write_bag(path, msgs)
+
+    it, iw, ia, cam_t, imgs_by_cam, n_unpaired = read_bag_stereo(
+        path, "/imu0", ["/cam0/image_raw", "/cam1/image_raw"])
+    assert len(it) == 20
+    # Pairs 0, 1, 3, 5 sync; 2 (missing partner) and 4 (late partner) skipped.
+    np.testing.assert_allclose(cam_t, cam0_t[[0, 1, 3, 5]], atol=1e-9)
+    assert len(imgs_by_cam) == 2
+    assert len(imgs_by_cam[0]) == len(imgs_by_cam[1]) == 4
+    assert n_unpaired >= 2
+    # Each pair carries the right images (mono8 quantization tolerance).
+    for i, k in enumerate([0, 1, 3, 5]):
+        np.testing.assert_allclose(imgs_by_cam[0][i], imgs0[cam0_t[k]], atol=1 / 254)
+        t1 = cam0_t[k] + 0.005
+        np.testing.assert_allclose(imgs_by_cam[1][i], imgs1[t1], atol=1 / 254)
+    # Mono fallback on the same bag still sees every cam0 frame.
+    _, _, _, all_t, _ = read_bag(path, "/imu0", "/cam0/image_raw")
+    assert len(all_t) == 6
 
 
 def test_run_euroc_direct_bag_replay(tmp_path):
