@@ -121,6 +121,15 @@ class VioEngine:
     try_zupt: bool = False
     zupt_opts: "ZuptOptions" = None
     use_groundtruths: bool = False
+    # ArUco SLAM privileges (reference: feature ids ≤ 4*max_aruco_features
+    # are never-marginalized SLAM landmarks outside the max_slam budget,
+    # StateHelper.cpp:638-652, VioManager.cpp:438-452,484). Ids in
+    # [1, aruco_max_id) are the reserved ArUco corner range (frontend/aruco
+    # ArucoOptions: id_base + 4*max_markers); 0 disables (sim ids collide
+    # with the low range, so this is only set when use_aruco is on — the
+    # reference's TrackSIM shifts sim ids past the range for the same reason,
+    # VioManager.cpp:226).
+    aruco_max_id: int = 0
 
     @classmethod
     def from_config(cls, cfg: VioConfig) -> "VioEngine":
@@ -161,9 +170,20 @@ class VioEngine:
         # re-anchored before their anchor marginalizes (slam.change_anchors ≡
         # UpdaterSLAM.cpp:684-850).
 
+        # ArUco corners live OUTSIDE the max_slam budget (never marginalized),
+        # so they get their own static landmark slots on top of it.
+        aruco_max_id = 0
+        n_aruco_slots = 0
+        if cfg.use_aruco:
+            from ov_plane_tpu.frontend.aruco import ArucoOptions
+
+            ao = ArucoOptions()
+            aruco_max_id = ao.id_base + 4 * ao.max_markers
+            n_aruco_slots = cfg.tpu.max_aruco_landmarks
+
         lay = StateLayout(
             max_clones=cfg.state.max_clone_size + 1,  # +1: transient slot between clone and marginalize
-            max_slam=max(cfg.state.max_slam_features, 1),
+            max_slam=max(cfg.state.max_slam_features + n_aruco_slots, 1),
             max_planes=cfg.tpu.max_planes,
             # Disabled calibration states get no error-state columns at all
             # (layout.py): keeps D under the 128-lane TPU tile for the
@@ -263,7 +283,8 @@ class VioEngine:
             ),
             max_slam=cfg.state.max_slam_features,
             dt_slam_delay=2.0,
-            use_slam=cfg.state.max_slam_features > 0,
+            use_slam=cfg.state.max_slam_features > 0 or aruco_max_id > 0,
+            aruco_max_id=aruco_max_id,
             use_groundtruths=cfg.state.use_groundtruths,
             use_planes=cfg.state.use_plane_constraint and cfg.state.use_plane_slam_feats,
             sigma_plane_merge=cfg.state.sigma_plane_merge,
@@ -327,12 +348,43 @@ def triage(eng: VioEngine, state: VioState, bank: fb.FeatureBank, cur_slot, allo
     marg = active & bank.mask[:, marg_slot] & window_full
     nobs = bank.n_obs
 
-    # SLAM promotion: full-window tracks at the marg boundary.
+    # SLAM promotion: full-window tracks at the marg boundary. ArUco corners
+    # (reserved low-id range) are privileged candidates: any aruco track at
+    # the marg boundary qualifies (no full-window requirement — the reference
+    # collects them via features_containing(margtimestep), VioManager.cpp:
+    # 381-384), they outrank natural max-tracks, and landmarks already in the
+    # state that are aruco do NOT consume the max_slam budget
+    # (VioManager.cpp:438-452: budget = max_slam + curr_aruco_tags).
     maxtrack = marg & (nobs > eng.max_clone_size)
-    free_cap = eng.max_slam - jnp.sum(state.slam_active)
-    s_score = jnp.where(maxtrack & allow_slam & jnp.asarray(eng.use_slam), nobs, -1)
+    slam_cand = maxtrack
+    budget = jnp.asarray(eng.max_slam, jnp.int32)
+    s_bonus = jnp.zeros_like(nobs)
+    if eng.aruco_max_id:
+        is_aruco = (bank.fid >= 1) & (bank.fid < eng.aruco_max_id)
+        slam_cand = maxtrack | (marg & is_aruco & (nobs >= 2))
+        s_bonus = jnp.where(is_aruco, 100000, 0)
+        slam_is_aruco = ((state.slam_id >= 1) & (state.slam_id < eng.aruco_max_id)
+                         & state.slam_active)
+        budget = budget + jnp.sum(slam_is_aruco)
+    free_cap = budget - jnp.sum(state.slam_active)
+    s_score = jnp.where(slam_cand & allow_slam & jnp.asarray(eng.use_slam),
+                        nobs + s_bonus, -1)
     s_scores, slam_idx = jax.lax.top_k(s_score, S)
-    slam_valid = (s_scores > 0) & (jnp.arange(S) < free_cap)
+    if eng.aruco_max_id:
+        # Aruco candidates bypass the natural budget entirely — the reference
+        # appends them to feats_slam with NO size check (VioManager.cpp:
+        # 381-384); only natural maxtracks pass through the
+        # `size < max_slam + curr_aruco_tags` gate (:448-452). The s_bonus
+        # sorts arucos first, so natural rank = position minus #arucos ahead.
+        # Everything stays bounded by the physical landmark slots.
+        cand_aruco = is_aruco[slam_idx]
+        natural_rank = jnp.cumsum(~cand_aruco) - (~cand_aruco).astype(jnp.int32)
+        phys_free = state.slam_active.shape[0] - jnp.sum(state.slam_active)
+        slam_valid = ((s_scores > 0)
+                      & (cand_aruco | (natural_rank < free_cap))
+                      & (jnp.arange(S) < phys_free))
+    else:
+        slam_valid = (s_scores > 0) & (jnp.arange(S) < free_cap)
     # Membership test instead of a scatter (TPU scatters serialize).
     rows = jnp.arange(bank.fid.shape[0])
     promoted = jnp.any((rows[:, None] == slam_idx[None, :]) & slam_valid[None, :], axis=1)
@@ -441,8 +493,9 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
     n_slam_upd = jnp.zeros((), jnp.int32)
 
     if eng.use_slam:
-        # 4. Marginalize lost SLAM landmarks (StateHelper::marginalize_slam).
-        state, n_slam_marg = marginalize_lost_slam(state, bank)
+        # 4. Marginalize lost SLAM landmarks (StateHelper::marginalize_slam);
+        #    aruco landmarks are exempt (never marginalized).
+        state, n_slam_marg = marginalize_lost_slam(state, bank, eng.aruco_max_id)
 
     n_plane_merges = jnp.zeros((), jnp.int32)
     if eng.use_planes:

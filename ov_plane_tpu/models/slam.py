@@ -292,14 +292,21 @@ def slam_update(state: VioState, bank: fb.FeatureBank, opts: SlamOptions, cur_sl
     return state, jnp.sum(take_full | take_nop)
 
 
-@jax.jit
-def marginalize_lost_slam(state: VioState, bank: fb.FeatureBank):
+@functools.partial(jax.jit, static_argnames=("aruco_max_id",))
+def marginalize_lost_slam(state: VioState, bank: fb.FeatureBank,
+                          aruco_max_id: int = 0):
     """Marginalize landmarks whose track is gone (marginalize_slam,
-    StateHelper.cpp:638-652). A landmark is lost when no bank row carries its id."""
+    StateHelper.cpp:638-652). A landmark is lost when no bank row carries its
+    id. ArUco landmarks (ids in [1, aruco_max_id)) are EXEMPT — the reference
+    never marginalizes aruco tags (StateHelper.cpp:643: `_featid > 4 *
+    max_aruco_features` guards the erase), so a re-detected marker after
+    occlusion resumes its landmark."""
     lay = state.layout
     eq = (state.slam_id[:, None] == bank.fid[None, :]) & (bank.fid >= 0)[None, :]
     has_row = jnp.any(eq, axis=1)
     lost = state.slam_active & ~has_row
+    if aruco_max_id:
+        lost = lost & ~((state.slam_id >= 1) & (state.slam_id < aruco_max_id))
 
     def zero_one(cov, slot_l):
         return jnp.where(

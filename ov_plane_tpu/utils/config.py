@@ -196,6 +196,10 @@ class TpuOptions:
     # at default gates — see PlaneMsckfOptions — and overflow is counted in
     # StepOutput.n_plane_dropped + the plane CSV, never silent).
     max_planes_per_frame: int = 8
+    # Static landmark slots reserved for ArUco corners when use_aruco is on:
+    # aruco landmarks live OUTSIDE the max_slam budget and are never
+    # marginalized (VioManager.cpp:438-452, StateHelper.cpp:638-652).
+    max_aruco_landmarks: int = 16
     max_imu_per_frame: int = 64    # IMU samples per camera frame (400/10 Hz = 40 + slack)
     dtype_filter: str = "float64"  # covariance/EKF math dtype
     dtype_frontend: str = "float32"  # image/feature math dtype
