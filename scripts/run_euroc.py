@@ -143,6 +143,10 @@ def main():
                          "ERROR/SILENT; default comes from the config YAML)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--use-planes", action="store_true")
+    ap.add_argument("--max-slam", type=int, default=-1,
+                    help="override state.max_slam_features (the protocol "
+                         "scripts' num_slam knob, results/run_ros_eth.sh:49-52); "
+                         "-1 keeps the config value")
     ap.add_argument("--map-capacity", type=int, default=8192,
                     help="persistent device plane-map point capacity (--use-planes)")
     ap.add_argument("--map-voxel", type=float, default=0.10,
@@ -240,6 +244,8 @@ def main():
         cfg.tpu.max_obs_per_frame = max(2 * args.track_cap, 32)
     cfg.state.use_plane_constraint = args.use_planes
     cfg.state.use_plane_slam_feats = args.use_planes
+    if args.max_slam >= 0:
+        cfg.state.max_slam_features = args.max_slam
     cfg.state.do_calib_camera_pose = False
     cfg.state.do_calib_camera_intrinsics = False
     cfg.state.do_calib_camera_timeoffset = False
