@@ -168,14 +168,37 @@ def main_vision():
     zeta = np.asarray(cfg.cam_intrinsics)
     feat_p = np.asarray(sim.feat_p)
     n = min(N_FRAMES, sim.cam_t_imu.shape[0] - 1)
-    frames = []
-    for i in range(1, n + 1):
-        R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
-        frames.append(render_frame_textured(
-            planes.corners, planes.normal, planes.d, feat_p, R_GtoI,
-            np.asarray(sim.gt_p[i]), R_ItoC, p_IinC, zeta, cfg.cam_wh, blobs=False))
-    print(f"[bench] rendered {n} frames in {time.time()-t0:.1f}s (host, untimed)",
-          file=sys.stderr)
+    # The render stands in for the camera and is untimed, but it costs
+    # ~10 s/frame of host CPU under load — cache it on disk keyed by the
+    # scene-determining knobs so repeat bench invocations start immediately.
+    cache_key = f"n{n}_w{cfg.cam_wh[0]}x{cfg.cam_wh[1]}_d{cfg.sim.traj_duration:.1f}"
+    cache_path = os.environ.get("BENCH_FRAME_CACHE",
+                                f"/tmp/bench_frames_{cache_key}.npz")
+    frames = None
+    if cache_path and os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path)
+            if z["frames"].shape[0] == n:
+                frames = list(z["frames"])
+                print(f"[bench] loaded {n} cached frames from {cache_path}",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — fall back to rendering
+            print(f"[bench] frame cache unreadable ({e}); re-rendering",
+                  file=sys.stderr)
+    if frames is None:
+        frames = []
+        for i in range(1, n + 1):
+            R_GtoI = np.asarray(quat_2_rot(sim.gt_q[i]))
+            frames.append(render_frame_textured(
+                planes.corners, planes.normal, planes.d, feat_p, R_GtoI,
+                np.asarray(sim.gt_p[i]), R_ItoC, p_IinC, zeta, cfg.cam_wh, blobs=False))
+        print(f"[bench] rendered {n} frames in {time.time()-t0:.1f}s (host, untimed)",
+              file=sys.stderr)
+        if cache_path:
+            try:
+                np.savez_compressed(cache_path, frames=np.stack(frames))
+            except Exception:  # noqa: BLE001 — cache is best-effort
+                pass
 
     eng = VioEngine.from_config(cfg)
     # On the accelerator the filter runs f32 (validated ≡ f64 on this
@@ -218,11 +241,18 @@ def main_vision():
         from ov_plane_tpu.parallel.ingest import Prefetcher
 
         resident = os.environ.get("BENCH_VISION_RESIDENT", "0") == "1"
+        # Chain K frames into one dispatch (BENCH_VISION_CHAIN=K): the tunnel
+        # charges ~3 RTTs per dispatch regardless of its size — measured
+        # round 4: per-dispatch wall 218 ms at B=32 of which only ~35 ms is
+        # device-visible work; chaining divides the fixed ~100 ms RTT cost
+        # by K. Host plane labels then lag K+1 frames instead of 2.
+        chain = int(os.environ.get("BENCH_VISION_CHAIN", "1"))
         if resident and Bv > 1:
             # Images are on-device; the serial B-stream host plane loop would
             # become the critical path — spread it over the host cores.
             os.environ.setdefault("OVP_PLANE_THREADS", "4")
-        drv = FusedVisionDriver(cfg, eng, batch=Bv if Bv > 1 else 0)
+        drv = FusedVisionDriver(cfg, eng, batch=Bv if Bv > 1 else 0,
+                                chain=chain if Bv > 1 else 1)
         fev = drv.init_frontend()
         if Bv > 1:
             rngv = np.random.default_rng(5)
@@ -255,6 +285,67 @@ def main_vision():
         # on-chip capability measurement (VERDICT r3 #1): at B=32 each u8
         # frame-batch is ~9.8 MB, so an 80-frame ring is ~0.8 GB of HBM — the
         # axon tunnel (~30 MB/s) pays it once, before the timer starts.
+        if chain > 1 and Bv > 1:
+            # ---- K-frame chained dispatch loop --------------------------
+            K = chain
+            n_chunks = n // K
+            warm_c = -(-WARMUP // K)          # ceil: first warm_c chunks warm up
+            _mk_chunk = lambda c: np.stack(
+                [_make_image(c * K + k + 1) for k in range(K)])
+            if resident:
+                t_res = time.time()
+                staged = [drv.stage_chunk(_mk_chunk(c)) for c in range(n_chunks)]
+                jax.block_until_ready(staged)
+                mb = sum(x.size * x.dtype.itemsize for x in staged) / 1e6
+                print(f"[bench] device-resident ring: {n_chunks} chunks x {K} "
+                      f"frames ({mb:.0f} MB) staged in {time.time()-t_res:.1f}s "
+                      f"(untimed)", file=sys.stderr)
+                img_iter = iter(staged)
+            elif prefetch:
+                img_iter = Prefetcher((_mk_chunk(c) for c in range(n_chunks)),
+                                      stage=drv.stage_chunk, depth=2)
+            else:
+                img_iter = (_mk_chunk(c) for c in range(n_chunks))
+
+            t_steady = None
+            t_loop0 = time.time()
+            for c in range(n_chunks):
+                if c == warm_c:
+                    t_steady = time.time()
+                wins = [imu_window(c * K + k + 1) for k in range(K)]
+                it_c = np.stack([np.tile(w[0], (Bv, 1)) for w in wins])
+                iw_c = np.stack([np.tile(w[1], (Bv, 1, 1)) for w in wins])
+                ia_c = np.stack([np.tile(w[2], (Bv, 1, 1)) for w in wins])
+                tn_c = np.stack([np.full(Bv, float(sim.cam_t_imu[c * K + k + 1]))
+                                 for k in range(K)])
+                state, bank, fev, out = drv.step_batch_chunk(
+                    state, bank, fev, next(img_iter), it_c, iw_c, ia_c, tn_c)
+                cnt = drv.last_counters
+                n_init += int(cnt[:, 0].sum())
+                n_constr += int(cnt[:, 1].sum())
+                max_planes = max(max_planes, int(cnt[:, 2].max()))
+                if c >= warm_c:
+                    stage_dev.append(drv.last_times["device"] / K)
+                    stage_plane.append(drv.last_times["host_plane"] / K)
+            drv.flush_stream()
+            wall = time.time() - (t_steady or t_loop0)
+            n_timed = (n_chunks - warm_c) * K * Bv
+            fps = n_timed / wall
+            print(f"[bench] FUSED vision (chain={K}): "
+                  f"{(n_chunks - warm_c) * K} steady frames x {Bv} streams in "
+                  f"{wall:.2f}s; stages(ms/frame): "
+                  f"device={1e3*np.mean(stage_dev):.1f} "
+                  f"host_plane={1e3*np.mean(stage_plane):.1f}; "
+                  f"plane_init={n_init} constraints={n_constr} "
+                  f"max_planes={max_planes}", file=sys.stderr)
+            print(json.dumps({
+                "metric": "vision_vio_frames_per_sec_single_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REALTIME_FPS, 3),
+            }))
+            return
+
         if resident:
             t_res = time.time()
             staged = [drv.stage_image(_make_image(i)) for i in range(1, n + 1)]

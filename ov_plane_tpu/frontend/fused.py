@@ -462,7 +462,8 @@ class FusedVisionDriver:
     program, so the partitioning is embarrassingly clean). Requires batch to
     be a multiple of the axis size."""
 
-    def __init__(self, cfg, eng: VioEngine, batch: int = 0, mesh=None):
+    def __init__(self, cfg, eng: VioEngine, batch: int = 0, mesh=None,
+                 chain: int = 1):
         from ov_plane_tpu.frontend.plane_track import PlaneTracker
 
         cap = cfg.tpu.max_obs_per_frame
@@ -516,7 +517,19 @@ class FusedVisionDriver:
         )
         self.eng = eng
         self.B = batch
-        n = max(batch, 1)
+        # Multi-process mesh: `batch` is the GLOBAL stream count (the vmap
+        # axis); each process hosts only its local streams' plane trackers
+        # and label/merge rows, ships its local slab of the payload/image,
+        # and materializes only its addressable pull shards. Single-process
+        # behavior (n_proc == 1) is unchanged.
+        self._n_proc, self._pid = 1, 0
+        if mesh is not None:
+            self._n_proc = jax.process_count()
+            self._pid = jax.process_index()
+            if batch % max(self._n_proc, 1) != 0:
+                raise ValueError(f"batch ({batch}) must divide across "
+                                 f"{self._n_proc} processes")
+        n = max(batch, 1) // self._n_proc
         self.trackers = [PlaneTracker(cfg.trackplane) for _ in range(n)]
         # The B per-stream plane detectors are independent (distinct
         # PlaneTracker instances, distinct label/merge rows), so they can run
@@ -530,6 +543,19 @@ class FusedVisionDriver:
             import concurrent.futures as _cf
 
             self._plane_pool = _cf.ThreadPoolExecutor(max_workers=n_thr)
+        # Cross-stream batched detector (plane_track_batch.py): the default
+        # for stream batches — one [B, ...] numpy pass replaces B sequential
+        # update() calls (the GIL-bound ~2.5 ms/stream loop that was the
+        # device-resident bench's throughput wall). OVP_PLANE_BATCH=0 keeps
+        # the per-stream trackers (parity asserted in
+        # tests/test_plane_track_batch.py either way).
+        self.batch_tracker = None
+        if n > 1 and os.environ.get("OVP_PLANE_BATCH", "1") != "0":
+            from ov_plane_tpu.frontend.plane_track_batch import PlaneTrackerBatch
+
+            self.batch_tracker = PlaneTrackerBatch(
+                n, cfg.trackplane, capacity=max(128, 2 * cap),
+                pool=self._plane_pool)
         cap_arr = self.vopts.cap
         self._label_ids = np.full((n, cap_arr), -1, np.int32)
         self._label_pid = np.full((n, cap_arr), -1, np.int32)
@@ -555,6 +581,26 @@ class FusedVisionDriver:
             return fused_vision_step(eng, self.vopts, st, bk, fe, img, it, iw,
                                      ia, tn, li, lp, mf, mi)
 
+        # K-frame chained dispatch: one jitted call advances K frames via
+        # lax.scan over the SAME fused step (host plane labels stay constant
+        # within the chunk, so the label lag grows from 2 to K+1 frames —
+        # plane ids are stable across frames, same rationale as pipelining).
+        # Purpose: a remote tunnel charges ~3 round trips per dispatch
+        # (payload upload, invocation, pull); chaining divides that fixed
+        # cost by K. chain=1 keeps the per-frame program unchanged.
+        self.chain = max(int(chain), 1)
+
+        def _packed_chain(st, bk, fe, imgs, pays):
+            def body(carry, xs):
+                st, bk, fe = carry
+                img_u8, pay = xs
+                st, bk, fe, out, pull = _packed_step(st, bk, fe, img_u8, pay)
+                return (st, bk, fe), (out, pull)
+
+            (st, bk, fe), (outs, pulls) = jax.lax.scan(body, (st, bk, fe),
+                                                       (imgs, pays))
+            return st, bk, fe, outs, pulls
+
         self._img_put_target = None
         if mesh is not None:
             if not batch or batch % mesh.shape["dp"] != 0:
@@ -570,6 +616,13 @@ class FusedVisionDriver:
             self._fn = jax.jit(jax.vmap(_packed_step))
         else:
             self._fn = jax.jit(_packed_step)
+        if self.chain > 1:
+            if not batch or mesh is not None:
+                raise ValueError("chain>1 needs batch mode without a mesh")
+            # imgs [K, B, h, w] / pays [K, B, n_pay]: streams on the vmap
+            # axis, frames on the scan axis.
+            self._fn_chain = jax.jit(jax.vmap(
+                _packed_chain, in_axes=(0, 0, 0, 1, 1), out_axes=(0, 0, 0, 1, 1)))
 
     # ------------------------------------------------------------------
     def _resolve_guard(self, img):
@@ -609,6 +662,26 @@ class FusedVisionDriver:
             self.wire_guard_info = dict(self.wire_guard_info or {},
                                         wire="f32", downgraded=True)
 
+    def _put_dp(self, x):
+        """Host array → device array under the driver's sharding regime:
+        plain put (no mesh), dp-sharded put (single-process mesh), or
+        local-slab assembly into a global array (multi-process mesh — `x` is
+        this process's local leading-axis slab)."""
+        if self._img_put_target is None:
+            return jnp.asarray(x)
+        if self._n_proc == 1:
+            return jax.device_put(x, self._img_put_target)
+        return jax.make_array_from_process_local_data(self._img_put_target, x)
+
+    def _materialize_pull(self, pull) -> "np.ndarray":
+        """Device pull → this process's host rows (all rows single-process;
+        the addressable dp shards, in global order, multi-process)."""
+        if self._n_proc == 1:
+            return np.asarray(pull)
+        shards = sorted(pull.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def stage_image(self, img) -> jax.Array:
         """Pack ``img`` to the wire dtype and start its host→device transfer
         NOW (``jax.device_put`` is asynchronous); pass the returned device
@@ -618,33 +691,38 @@ class FusedVisionDriver:
         ~10 MB ≈ 330 ms through the axon tunnel vs a few kB of payload), so
         staging frame k+1 while frame k computes — from the replay loop or a
         ``parallel.ingest.Prefetcher`` thread — takes both the u8 quantization
-        pass and the upload off the per-frame critical path."""
+        pass and the upload off the per-frame critical path.
+
+        Under a multi-process mesh, pass this process's LOCAL stream slab."""
         self._resolve_guard(img)
         wire = _pack_image(self.vopts, img)
         if self._img_put_target is not None:
-            return jax.device_put(wire, self._img_put_target)
+            return self._put_dp(wire)
+        return jax.device_put(wire)
+
+    def stage_chunk(self, imgs) -> jax.Array:
+        """Pack a K-frame chunk ``imgs`` [K, B, h, w] to the wire dtype and
+        start its upload now (the chain-mode analogue of stage_image)."""
+        self._resolve_guard(imgs[0])
+        wire = np.stack([_pack_image(self.vopts, im) for im in imgs])
         return jax.device_put(wire)
 
     def _wire_image(self, img) -> jax.Array:
         if isinstance(img, jax.Array):
             return img                      # pre-staged by stage_image
         self._resolve_guard(img)
-        return jnp.asarray(_pack_image(self.vopts, img))
+        wire = _pack_image(self.vopts, img)
+        if self._img_put_target is not None:
+            return self._put_dp(wire)
+        return jnp.asarray(wire)
 
     def init_frontend(self, first_id: int = 1) -> FusedFrontendState:
         return FusedFrontendState.create(self.vopts, first_id)
 
     # ------------------------------------------------------------------
-    def _host_plane_update(self, s: int, ids, uv, valid, p3, ok3):
-        """Run the Delaunay detector for stream s on the pulled tracks and
-        refresh its label/merge arrays for the NEXT dispatch."""
-        tr = self.trackers[s]
-        ids = np.where(valid, ids, -1)
-        self.last_tri[s] = (ids, uv, p3, ok3 & valid)
-        import time as _t
-
-        t0 = _t.perf_counter()
-        f2p, p2o = tr.update(ids, uv, p3, ok3 & valid, self._R_GtoC[s], self._p_CinG[s])
+    def _apply_plane_result(self, s: int, f2p, p2o, timing, total):
+        """Fold one stream's detector output into the label/merge arrays for
+        the NEXT dispatch + the per-stream stats surface."""
         self._label_ids[s] = -1
         self._label_pid[s] = -1
         items = list(f2p.items())[: self._label_ids.shape[1]]
@@ -662,15 +740,27 @@ class FusedVisionDriver:
                     self._merge_into[s, k] = into
                     k += 1
         n_pl = len(set(f2p.values()))
-        tl = None
         self.last_plane_stats[s] = {
             "feat/plane": (len(f2p) / n_pl) if n_pl else 0.0,
             "num plane": float(n_pl),
             "num constraint updates": float(len(f2p)),
-            "delaunay": tr.last_timing.get("delaunay", 0.0),
-            "matching": tr.last_timing.get("matching", 0.0),
-            "total": _t.perf_counter() - t0,
+            "delaunay": timing.get("delaunay", 0.0),
+            "matching": timing.get("matching", 0.0),
+            "total": total,
         }
+
+    def _host_plane_update(self, s: int, ids, uv, valid, p3, ok3):
+        """Run the Delaunay detector for stream s on the pulled tracks and
+        refresh its label/merge arrays for the NEXT dispatch."""
+        tr = self.trackers[s]
+        ids = np.where(valid, ids, -1)
+        self.last_tri[s] = (ids, uv, p3, ok3 & valid)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        f2p, p2o = tr.update(ids, uv, p3, ok3 & valid, self._R_GtoC[s], self._p_CinG[s])
+        self._apply_plane_result(s, f2p, p2o, tr.last_timing,
+                                 _t.perf_counter() - t0)
 
     # ------------------------------------------------------------------
     def step_stream(self, state, bank, fev, img, imu_t, imu_w, imu_a, t_new,
@@ -721,9 +811,16 @@ class FusedVisionDriver:
         if pull is None:
             return
         self._pending_pull = None
-        packed = np.asarray(pull)
+        packed = self._materialize_pull(pull)
         if packed.ndim == 2:
             packed = packed[None]
+        if packed.ndim == 4:                  # chunked [K, B, cap+3, 8]
+            for k in range(packed.shape[0]):
+                (ids, uv, valid, p3, ok3, self.last_counters,
+                 self._R_GtoC, self._p_CinG) = _unpack(packed[k])
+                if pipelined_tail:
+                    self._run_plane_detectors(ids, uv, valid, p3, ok3)
+            return
         (ids, uv, valid, p3, ok3, self.last_counters,
          self._R_GtoC, self._p_CinG) = _unpack(packed)
         if pipelined_tail:
@@ -740,11 +837,15 @@ class FusedVisionDriver:
 
         t0 = _t.perf_counter()
         img_w = self._wire_image(imgs)
+        # Payload rows are this process's LOCAL streams (== all streams when
+        # single-process); imu_*/t_new carry the same local slab.
         pay = _pack_payload(
-            self.vopts, self._W, img_w.shape[0], imu_t, imu_w, imu_a, t_new,
-            self._label_ids, self._label_pid, self._merge_from, self._merge_into)
+            self.vopts, self._W, self._label_ids.shape[0], imu_t, imu_w, imu_a,
+            t_new, self._label_ids, self._label_pid, self._merge_from,
+            self._merge_into)
+        pay_g = self._put_dp(pay) if self._img_put_target is not None else jnp.asarray(pay)
         states, banks, fevs, out, pull = self._fn(
-            states, banks, fevs, img_w, jnp.asarray(pay))
+            states, banks, fevs, img_w, pay_g)
         if pipelined:
             prev = getattr(self, "_pending_pull", None)
             self._pending_pull = pull
@@ -754,7 +855,7 @@ class FusedVisionDriver:
                 self.last_dbg = self.last_counters[0, 5:8]
                 return states, banks, fevs, out
             pull = prev
-        packed = np.asarray(pull)                      # ONE transfer
+        packed = self._materialize_pull(pull)          # ONE transfer
         t1 = _t.perf_counter()
         (ids, uv, valid, p3, ok3, self.last_counters,
          self._R_GtoC, self._p_CinG) = _unpack(packed)
@@ -763,8 +864,83 @@ class FusedVisionDriver:
         self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
         return states, banks, fevs, out
 
+    def step_batch_chunk(self, states, banks, fevs, imgs, imu_t, imu_w, imu_a,
+                         t_new, pipelined: bool = True):
+        """K frames x B streams, ONE dispatch (requires chain=K at
+        construction). imgs: [K, B, h, w] (or pre-staged via stage_chunk);
+        imu_t [K, B, W]; imu_w/imu_a [K, B, W, 3]; t_new [K, B].
+
+        Host plane labels are constant within the chunk and refresh from the
+        chunk's pulled per-frame track tables before the next dispatch (the
+        detector still runs once per frame per stream, in frame order)."""
+        import time as _t
+
+        K = self.chain
+        t0 = _t.perf_counter()
+        if isinstance(imgs, jax.Array):
+            img_w = imgs
+        else:
+            self._resolve_guard(np.asarray(imgs[0]))
+            img_w = jnp.asarray(np.stack(
+                [_pack_image(self.vopts, im) for im in np.asarray(imgs)]))
+        B = self._label_ids.shape[0]
+        pays = np.stack([
+            _pack_payload(self.vopts, self._W, B, imu_t[k], imu_w[k], imu_a[k],
+                          t_new[k], self._label_ids, self._label_pid,
+                          self._merge_from, self._merge_into)
+            for k in range(K)])
+        states, banks, fevs, outs, pulls = self._fn_chain(
+            states, banks, fevs, img_w, jnp.asarray(pays))
+        if pipelined:
+            prev = getattr(self, "_pending_pull", None)
+            self._pending_pull = pulls
+            if prev is None:
+                self.last_times = {"device": _t.perf_counter() - t0, "host_plane": 0.0}
+                self.last_counters = np.zeros((B, 9), np.float32)
+                self.last_dbg = self.last_counters[0, 5:8]
+                return states, banks, fevs, outs
+            pulls = prev
+        packed = np.asarray(pulls)                     # ONE transfer [K,B,cap+3,8]
+        t1 = _t.perf_counter()
+        counters_sum = None
+        for k in range(packed.shape[0]):
+            (ids, uv, valid, p3, ok3, self.last_counters,
+             self._R_GtoC, self._p_CinG) = _unpack(packed[k])
+            self._run_plane_detectors(ids, uv, valid, p3, ok3)
+            if counters_sum is None:
+                counters_sum = self.last_counters.copy()
+            else:
+                cs = counters_sum + self.last_counters
+                # Gauges (n_planes #2, n_bank #4, track counts #5-7) take the
+                # chunk max; event counts (#0, #1, #3, #8) accumulate.
+                for g in (2, 4, 5, 6, 7):
+                    cs[:, g] = np.maximum(counters_sum[:, g],
+                                          self.last_counters[:, g])
+                counters_sum = cs
+        self.last_counters = counters_sum
+        self.last_dbg = self.last_counters[0, 5:8]
+        self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
+        return states, banks, fevs, outs
+
     def _run_plane_detectors(self, ids, uv, valid, p3, ok3):
         B = ids.shape[0]
+        if self.batch_tracker is not None:
+            import time as _t
+
+            t0 = _t.perf_counter()
+            idsm = np.where(valid, ids, -1)
+            ok = ok3 & valid
+            results = self.batch_tracker.update_batch(
+                idsm, uv, p3, ok, self._R_GtoC, self._p_CinG)
+            per_s = (_t.perf_counter() - t0) / B
+            tl = self.batch_tracker.last_timing
+            timing = {"delaunay": tl.get("delaunay", 0.0) / B,
+                      "matching": tl.get("matching", 0.0) / B}
+            for s in range(B):
+                self.last_tri[s] = (idsm[s], uv[s], p3[s], ok[s])
+                f2p, p2o = results[s]
+                self._apply_plane_result(s, f2p, p2o, timing, per_s)
+            return
         if self._plane_pool is not None:
             list(self._plane_pool.map(
                 lambda s: self._host_plane_update(

@@ -97,3 +97,84 @@ def test_two_process_replay_matches_single_process(tmp_path):
     for w in (w0, w1):
         for k in range(w["p_local"].shape[0]):
             np.testing.assert_allclose(w["p_local"][k, 0], p_ref, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_two_process_fused_vision_matches_single_process(tmp_path):
+    """The FUSED one-dispatch vision step under a process-spanning dp mesh
+    (VERDICT r3 #6): 2 processes x 2 virtual devices drive 4 sharded streams
+    through the full frontend+filter program, each process hosting its local
+    plane trackers; trajectories must match the single-process vmapped batch."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        JAX_ENABLE_X64="1",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+    )
+    worker = os.path.join(REPO, "tests", "helpers", "dist_fused_worker.py")
+    outs = [tmp_path / f"fw{i}.npz" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(outs[i])],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n=== worker logs ===\n" + "\n".join(logs)
+
+    w0, w1 = np.load(outs[0]), np.load(outs[1])
+    assert int(w0["n_global_devices"]) == 4
+    assert int(w1["n_global_devices"]) == 4
+    assert int(w0["batch_lo"]) == 0 and int(w1["batch_lo"]) == 2
+    p_dist = np.concatenate([w0["p_local"], w1["p_local"]], axis=0)
+    q_dist = np.concatenate([w0["q_local"], w1["q_local"]], axis=0)
+
+    # Single-process oracle: the same 4-stream batch, vmapped on one process.
+    import jax
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.frontend.fused import FusedVisionDriver
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt
+    from tests.helpers.dist_fused_config import (
+        B_GLOBAL,
+        N_FRAMES,
+        imu_window,
+        make_cfg_sim_frames,
+    )
+
+    cfg, sim, imgs = make_cfg_sim_frames()
+    eng = VioEngine.from_config(cfg)
+    state = init_state_with_gt(
+        eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
+        v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0])
+    bank = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+    drv = FusedVisionDriver(cfg, eng, batch=B_GLOBAL)
+    fev = drv.init_frontend()
+    tile = lambda x: jax.tree.map(lambda v: jnp.stack([v] * B_GLOBAL), x)
+    states, banks, fevs = tile(state), tile(bank), tile(fev)
+    for i in range(1, N_FRAMES + 1):
+        it, iw, ia = imu_window(cfg, sim, i)
+        states, banks, fevs, out = drv.step_batch(
+            states, banks, fevs, imgs[i - 1],
+            np.tile(it, (B_GLOBAL, 1)), np.tile(iw, (B_GLOBAL, 1, 1)),
+            np.tile(ia, (B_GLOBAL, 1, 1)),
+            np.full(B_GLOBAL, float(sim.cam_t_imu[i])))
+    drv.flush_stream()
+
+    # Per-shard compilation reassociates f32 frontend math (same tolerance
+    # rationale as test_fused_batch_sharded_matches_unsharded).
+    np.testing.assert_allclose(p_dist, np.asarray(out.p), atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(q_dist, np.asarray(out.q), atol=1e-6, rtol=1e-5)
