@@ -168,6 +168,35 @@ def main():
              if B > 1 else jax.jit(lambda s, b, f: step(eng, s, b, f)[2].p))
     timeit("filter step (manager.step)", st_fn, state, bank, frame)
 
+    # 6b. filter-step ablations: bound the internal split without new
+    # instrumentation — planes OFF isolates the CP machinery (delayed init
+    # RANSAC + merges + grouped plane updates); a 4-feature MSCKF cap bounds
+    # the classic-update share; the IMU window at the true sample count
+    # bounds the masked-propagation overhead.
+    import copy as _copy
+
+    cfg_np = _copy.deepcopy(cfg)
+    cfg_np.state.use_plane_constraint = False
+    cfg_np.state.use_plane_slam_feats = False
+    eng_np = VioEngine.from_config(cfg_np)
+    np_fn = (jax.jit(jax.vmap(lambda s, b, f: step(eng_np, s, b, f)[2].p))
+             if B > 1 else jax.jit(lambda s, b, f: step(eng_np, s, b, f)[2].p))
+    timeit("filter step, planes OFF", np_fn, state, bank, frame)
+
+    cfg_m4 = _copy.deepcopy(cfg)
+    cfg_m4.tpu.max_msckf_update = 4
+    eng_m4 = VioEngine.from_config(cfg_m4)
+    m4_fn = (jax.jit(jax.vmap(lambda s, b, f: step(eng_m4, s, b, f)[2].p))
+             if B > 1 else jax.jit(lambda s, b, f: step(eng_m4, s, b, f)[2].p))
+    timeit("filter step, msckf cap 4", m4_fn, state, bank, frame)
+
+    cfg_np4 = _copy.deepcopy(cfg_np)
+    cfg_np4.tpu.max_msckf_update = 4
+    eng_np4 = VioEngine.from_config(cfg_np4)
+    np4_fn = (jax.jit(jax.vmap(lambda s, b, f: step(eng_np4, s, b, f)[2].p))
+              if B > 1 else jax.jit(lambda s, b, f: step(eng_np4, s, b, f)[2].p))
+    timeit("filter step, planes OFF + cap 4", np4_fn, state, bank, frame)
+
     # 7. the whole fused program for reference.
     fev2 = put(fev1)
     li = put(jnp.full((B, 64) if B > 1 else (64,), -1, jnp.int32))

@@ -53,12 +53,22 @@ def _gauss_kernel(dtype):
 
 
 def pyr_down(img):
-    """5-tap Gaussian blur + 2x decimation (cv::pyrDown equivalent)."""
+    """5-tap Gaussian blur + 2x decimation (cv::pyrDown equivalent).
+
+    Separable shift-and-add form: 1-channel convolutions (vmapped 1-D
+    convolve / conv_general_dilated) lower terribly on the TPU — the MXU
+    wants many channels and tiny-channel convs fall to latency-bound code
+    (measured: the B=32 pyramid+prepare stage dominated the fused step at
+    ~1.9 s standalone). Static shifted slices + FMAs are pure VPU work that
+    XLA fuses with neighbors. The kernel is symmetric, so this is exactly
+    the previous convolve (up to FP summation order)."""
     k = _gauss_kernel(img.dtype)
     pad = 2
     x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
-    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)        # rows
-    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(x)
+    x = (k[0] * x[:, :-4] + k[1] * x[:, 1:-3] + k[2] * x[:, 2:-2]
+         + k[3] * x[:, 3:-1] + k[4] * x[:, 4:])                    # rows
+    x = (k[0] * x[:-4] + k[1] * x[1:-3] + k[2] * x[2:-2]
+         + k[3] * x[3:-1] + k[4] * x[4:])                          # cols
     return x[::2, ::2]
 
 

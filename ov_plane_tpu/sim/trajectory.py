@@ -209,6 +209,11 @@ def get_trajectory(cfg_sim):
 
     if cfg_sim.traj_path and os.path.exists(cfg_sim.traj_path):
         times, pos, quat = load_trajectory_txt(cfg_sim.traj_path)
+        start = float(getattr(cfg_sim, "traj_start", 0.0) or 0.0)
+        if start > 0:
+            keep = times >= times[0] + start
+            if keep.sum() >= 8:
+                times, pos, quat = times[keep], pos[keep], quat[keep]
         if cfg_sim.traj_duration and cfg_sim.traj_duration > 0:
             keep = times <= times[0] + cfg_sim.traj_duration
             if keep.sum() >= 8:

@@ -163,6 +163,9 @@ class SimOptions:
     seed_measurements: int = 0
     do_perturbation: bool = False
     traj_path: str = ""  # empty -> procedural trajectory
+    # Seconds of a LOADED trajectory to skip before replay starts (segment
+    # isolation for consistency bisects; procedural kinds ignore it).
+    traj_start: float = 0.0
     distance_threshold: float = 1.2
     freq_cam: float = 10.0
     freq_imu: float = 400.0
