@@ -141,6 +141,12 @@ def main_vision():
     cfg.tpu.max_features = 128
     cfg.tpu.max_obs_per_frame = 64
     cfg.tpu.max_msckf_update = 24
+    # Info-form compression everywhere (classic + plane paths): the TPU QR
+    # custom call is latency-bound in the column count regardless of rows;
+    # the gram form is one MXU contraction + a [C,C] Cholesky (round-4
+    # profile: the plane machinery was 79 ms of the 134 ms filter at B=32,
+    # dominated by per-candidate QRs).
+    cfg.tpu.use_info_compression = True
     cfg.trackplane.min_norms = 3
     cfg.trackplane.max_norm_avg_var = 30.0
     cfg.trackplane.max_norm_avg_max = 30.0

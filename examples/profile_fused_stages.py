@@ -68,6 +68,12 @@ def main():
     cfg.tpu.max_features = 128
     cfg.tpu.max_obs_per_frame = 64
     cfg.tpu.max_msckf_update = 24
+    # Info-form compression everywhere (classic + plane paths): the TPU QR
+    # custom call is latency-bound in the column count regardless of rows;
+    # the gram form is one MXU contraction + a [C,C] Cholesky (round-4
+    # profile: the plane machinery was 79 ms of the 134 ms filter at B=32,
+    # dominated by per-candidate QRs).
+    cfg.tpu.use_info_compression = True
     eng = VioEngine.from_config(cfg)
     drv = FusedVisionDriver(cfg, eng)
     vo = drv.vopts

@@ -235,6 +235,7 @@ class VioEngine:
             max_msckf_plane=cfg.state.max_msckf_plane,
             use_refine_plane_feat=cfg.state.use_refine_plane_feat,
             use_ransac=cfg.state.use_plane_ransac,
+            use_info_compression=cfg.tpu.use_info_compression,
         )
         pmo = PlaneMsckfOptions(
             base=po,

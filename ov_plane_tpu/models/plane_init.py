@@ -60,6 +60,11 @@ class PlaneInitOptions(NamedTuple):
     # :83-195). Off for the noise-free simulator; on for the vision pipeline.
     use_ransac: bool = False
     ransac: PlaneRansacOptions = PlaneRansacOptions()
+    # Information-form compression (gram + Cholesky ≡ thin QR's R factor,
+    # ekf.info_compress_rows): one MXU contraction instead of the TPU's
+    # latency-bound sequential-Householder QR custom call. Plumbed from
+    # tpu.use_info_compression alongside the classic-path switch.
+    use_info_compression: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -157,7 +162,10 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         proj = jax.vmap(proj_one)(H_x, H_f, res)          # [Mp, 3K-3, 3+D+1]
         big = proj.reshape(Mp * (3 * K - 3), 3 + D + 1)
         # Compress (UpdaterPlane::measurement_compress_inplace :519-552).
-        bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
+        if opts.use_info_compression:
+            bigc = ekf.info_compress_rows(big)
+        else:
+            bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
         H_cp_c = bigc[:, 0:3]
         H_x_c = bigc[:, 3:3 + D]
         res_c = bigc[:, 3 + D]

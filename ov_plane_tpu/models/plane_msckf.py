@@ -140,7 +140,10 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
         proj = jax.vmap(proj_one)(H_x, H_f, res)              # [Mp, 3K-3, 3+D+1]
         big = proj.reshape(Mp * (3 * K - 3), 3 + D + 1)
         # Compress, then marginalize the CP columns entirely.
-        bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
+        if opts.base.use_info_compression:
+            bigc = ekf.info_compress_rows(big)
+        else:
+            bigc, _ = ekf.measurement_compress(big, jnp.zeros((big.shape[0],), dtype))
         Hcp_c, rest = bigc[:, 0:3], bigc[:, 3:]
         rest2, _ = ekf.nullspace_project(Hcp_c, rest, jnp.zeros((rest.shape[0],), dtype))
         H_up = rest2[:, :D]

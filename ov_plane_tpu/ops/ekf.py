@@ -303,6 +303,28 @@ def measurement_compress(H: jnp.ndarray, res: jnp.ndarray, out_rows: int | None 
 
 
 @jax.jit
+def info_compress_rows(M_big: jnp.ndarray) -> jnp.ndarray:
+    """Triangular compressed rows of a stacked block via the information form:
+    returns R [C, C] with RᵀR = M_bigᵀ M_big — the SAME R factor thin QR
+    produces (chol(G) = Lᵀ = R up to the sign convention; Cholesky's diagonal
+    is positive, QR's sign-free rotations don't affect any downstream use).
+
+    Why not jnp.linalg.qr: on TPU a [rows, C] QR is a sequential Householder
+    custom call whose latency scales with C regardless of rows (measured: the
+    plane paths' per-candidate QRs dominated the plane machinery's ~79 ms at
+    B=32). The gram contraction is one MXU matmul; the [C, C] Cholesky is the
+    only remaining custom call. Same square-the-condition trade as the
+    validated classic-path info compression (UpdaterHelper.cpp:548-579 is the
+    Givens original of both forms).
+    """
+    C = M_big.shape[1]
+    G = M_big.T @ M_big
+    eps = jnp.asarray(1e-12, G.dtype) * (jnp.trace(G) + 1.0)
+    L = jnp.linalg.cholesky(G + eps * jnp.eye(C, dtype=G.dtype))
+    return L.T
+
+
+@jax.jit
 def qr_init_split(H_L: jnp.ndarray, H_R: jnp.ndarray, res: jnp.ndarray):
     """Rotate [H_L | H_R | res] so the top rows isolate the new variable
     (StateHelper::initialize, StateHelper.cpp:434-458).

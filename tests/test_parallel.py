@@ -211,3 +211,54 @@ def test_inloop_sharded_plane_replay_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(outs_sh.n_plane_constraints),
                                   np.asarray(outs_ref.n_plane_constraints))
     np.testing.assert_array_equal(np.asarray(outs_sh.n_planes), np.asarray(outs_ref.n_planes))
+
+
+def test_plane_replay_info_compression_matches_qr():
+    """The info-form compress in the PLANE paths (ekf.info_compress_rows —
+    gram+Cholesky producing exactly thin-QR's R factor) must replay the
+    plane-active sequence equivalently to the QR form (round-4 TPU-latency
+    lever; the classic path's equivalence was validated in round 2)."""
+    from ov_plane_tpu.models.feature_bank import FeatureBank
+    from ov_plane_tpu.models.manager import VioEngine, init_state_with_gt, run_sequence
+    from ov_plane_tpu.sim.simulator import build_sim
+    from ov_plane_tpu.utils.config import sim_config
+
+    cfg = sim_config()
+    cfg.sim.traj_duration = 6.0
+    cfg.state.max_slam_features = 0
+    cfg.state.use_plane_constraint = True
+    cfg.state.use_plane_slam_feats = True
+    cfg.state.do_calib_camera_pose = False
+    cfg.state.do_calib_camera_intrinsics = False
+    cfg.state.do_calib_camera_timeoffset = False
+    cfg.num_pts = 12
+    cfg.num_pts_plane = 30
+    cfg.tpu.max_features = 96
+    cfg.tpu.max_obs_per_frame = 64
+    cfg.tpu.max_msckf_update = 32
+    sim = build_sim(cfg, max_obs=64)
+
+    def run(use_info):
+        cfg.tpu.use_info_compression = use_info
+        eng = VioEngine.from_config(cfg)
+        st = init_state_with_gt(
+            eng, cfg, t0=sim.cam_t_imu[0], q0=sim.gt_q[0], p0=sim.gt_p[0],
+            v0=sim.gt_v[0], bg0=sim.gt_bg_cam[0], ba0=sim.gt_ba_cam[0])
+        bk = FeatureBank.create(cfg.tpu.max_features, eng.layout.max_clones)
+        _, _, outs = run_sequence(eng, st, bk, sim, imu_window=cfg.tpu.max_imu_per_frame)
+        return outs
+
+    outs_qr = run(False)
+    outs_in = run(True)
+    # Plane machinery genuinely fired in the QR arm.
+    assert int(np.sum(np.asarray(outs_qr.n_plane_init))) >= 1
+    assert int(np.sum(np.asarray(outs_qr.n_plane_constraints))) > 0
+    # Same discrete decisions, same trajectories (the R factors are equal up
+    # to FP: gram+chol squares the condition, so f64 agreement is ~1e-7 here,
+    # not bitwise).
+    np.testing.assert_array_equal(np.asarray(outs_in.n_plane_init),
+                                  np.asarray(outs_qr.n_plane_init))
+    np.testing.assert_array_equal(np.asarray(outs_in.n_plane_constraints),
+                                  np.asarray(outs_qr.n_plane_constraints))
+    np.testing.assert_allclose(np.asarray(outs_in.p), np.asarray(outs_qr.p),
+                               atol=5e-5)
