@@ -318,10 +318,20 @@ def info_compress_rows(M_big: jnp.ndarray) -> jnp.ndarray:
     Givens original of both forms).
     """
     C = M_big.shape[1]
-    G = M_big.T @ M_big
-    eps = jnp.asarray(1e-12, G.dtype) * (jnp.trace(G) + 1.0)
+    # Column equilibration: the stacked block mixes units (CP columns, state
+    # columns, the residual), so cond(G) = cond(M)² easily exceeds f32's
+    # range and a raw f32 Cholesky corrupts the downstream init gates
+    # (measured: plane delayed-init silently stopped firing on the TPU).
+    # Scaling M's columns to unit norm is EXACT — R = chol(GL)ᵀ·diag(s)
+    # satisfies RᵀR = G bit-for-the-same-math — and removes the unit spread
+    # from the conditioning before the square.
+    s = jnp.sqrt(jnp.sum(M_big * M_big, axis=0))
+    s = jnp.where(s > 0, s, 1.0)
+    Mn = M_big / s[None, :]
+    G = Mn.T @ Mn
+    eps = jnp.asarray(1e-7 if G.dtype == jnp.float32 else 1e-14, G.dtype)
     L = jnp.linalg.cholesky(G + eps * jnp.eye(C, dtype=G.dtype))
-    return L.T
+    return L.T * s[None, :]
 
 
 @jax.jit

@@ -667,8 +667,22 @@ def main():
               f"({st['n_inserted_total']} inserted, voxel {args.map_voxel} m)")
         if args.map_out:
             pts_m, pid_m = pmap.cloud()
-            np.savez(args.map_out, points=pts_m, plane_id=pid_m)
-            print(f"[euroc] wrote map cloud {args.map_out}")
+            # Final-cloud consolidation through the native voxel grid
+            # (ikd_grid.cpp) — the host-side twin of the device map's
+            # downsample-on-insert, matching the ikd-tree's
+            # Add_Points(downsample=true) the reference's map dump reflects
+            # (ikd_tree.h:240-261). The device map already downsampled per
+            # insert epoch; this pass deduplicates across epochs.
+            from ov_plane_tpu.native import VoxelPointMap
+
+            grid = VoxelPointMap(voxel=max(4 * args.map_voxel, 0.2),
+                                 downsample=args.map_voxel)
+            grid.add(pts_m, pid_m.astype(np.int32), downsample=True)
+            pts_d, pid_d = grid.flatten(max_n=max(len(pts_m), 1))
+            np.savez(args.map_out, points=pts_d, plane_id=pid_d,
+                     points_raw=pts_m, plane_id_raw=pid_m)
+            print(f"[euroc] wrote map cloud {args.map_out} "
+                  f"({len(pts_d)} pts, {len(pts_m)} pre-consolidation)")
 
     if have_gt and n_done > 10:
         t_gt, p_gt, q_gt, *_ = eio.read_euroc_gt(gt_path)
