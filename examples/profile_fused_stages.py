@@ -203,6 +203,26 @@ def main():
               if B > 1 else jax.jit(lambda s, b, f: step(eng_np4, s, b, f)[2].p))
     timeit("filter step, planes OFF + cap 4", np4_fn, state, bank, frame)
 
+    # 6c. finer floor arms (round 4): what remains under "planes OFF + cap 4"
+    # — zero observations isolates the triage/bank ingest + ZUPT machinery
+    # from the measurement update; bare propagate_and_clone is the absolute
+    # floor (one cov congruence + clone scatter).
+    frame0 = frame._replace(obs_id=jnp.full_like(frame.obs_id, -1))
+    timeit("filter step, planes OFF, 0 obs", np_fn, state, bank, frame0)
+
+    from ov_plane_tpu.state.propagator import propagate_and_clone
+
+    noises_v = jnp.asarray([eng.sigma_w2, eng.sigma_a2, eng.sigma_wb2,
+                            eng.sigma_ab2], jnp.float32)
+    grav_v = jnp.asarray([0.0, 0.0, eng.gravity_mag], jnp.float32)
+
+    def _pc(s, f):
+        return propagate_and_clone(s, f.imu_t, f.imu_w, f.imu_a, f.t_new,
+                                   noises_v, grav_v, eng.prop_opts)[0].cov
+
+    pc_fn = jax.jit(jax.vmap(_pc)) if B > 1 else jax.jit(_pc)
+    timeit("propagate+clone only", pc_fn, state, frame)
+
     # 7. the whole fused program for reference.
     fev2 = put(fev1)
     li = put(jnp.full((B, 64) if B > 1 else (64,), -1, jnp.int32))

@@ -5,8 +5,10 @@ Re-design of the plane half of ``UpdaterMSCKF::update``
 updated together — the plane CP is recovered on the fly (LSQ fit + joint GN,
 :223-293), each feature's point columns are nullspace-projected (keeping CP),
 the stacked system then has its CP columns nullspace-projected away
-(marginalized, :591-604), is chi2-gated per plane (:606-631) and applied as
-an EKF update per plane (:647-648, sequential under a bounded scan).
+(marginalized, :591-604) and is chi2-gated per plane (:606-631); all
+surviving groups' compressed rows stack into ONE EKF update (:647) — the
+group bodies vmap (every Cholesky/Householder batches across groups) and
+only a single latency-bound update chain runs per frame.
 
 Features consumed here are excluded from the classic point update (the caller
 gets a used-mask back).
@@ -87,10 +89,20 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
     n_qualifying = jnp.sum(score > 0)
     n_dropped = jnp.maximum(n_qualifying - opts.max_planes_per_frame, 0)
 
-    consumed = jnp.zeros((M,), bool)
+    # STACKED grouped update (round 4): all plane groups build their rows off
+    # the SAME pre-update state, each group is chi2-gated against the same
+    # pre-update covariance, the survivors' compressed rows stack into ONE
+    # EKF update — exactly the reference's dataflow (UpdaterMSCKF.cpp:411-649
+    # stacks every group's projected rows into Hx_big and calls EKFUpdate
+    # once at :647). The previous lax.scan ran the full group body (GN
+    # refine, Householder chains, compression Cholesky, Kalman update)
+    # max_planes_per_frame times SEQUENTIALLY even when most slots were
+    # empty; vmapping the group body batches every custom call ([G, C, C]
+    # Cholesky instead of G sequential ones) and leaves a single
+    # latency-bound update chain per frame.
+    clones = clone_set_from_state(state)
 
-    def body(carry, c):
-        st, consumed_c = carry
+    def group(c):
         plane = cand_pids[c]
         valid = plane >= 0
 
@@ -104,7 +116,6 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
         uvn = bank.uvn[rows]
         masks = bank.mask[rows] & fvalid[:, None] & clone_active[None, :]
 
-        clones = clone_set_from_state(st)
         p_f, tri_ok = triangulate(uvn, masks, clones.R_GtoC, clones.p_CinG, opts.base.tri)
         fvalid = fvalid & tri_ok
         masks = masks & fvalid[:, None]
@@ -149,21 +160,37 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
         H_up = rest2[:, :D]
         res_up = rest2[:, D]
 
+        # Gate against the shared pre-update covariance (the reference gates
+        # each group before stacking, UpdaterMSCKF.cpp:606-631).
         n_rows = jnp.sum(rmask & fvalid[:, None])
-        chi2 = ekf.innovation_chi2(st.cov, H_up, res_up, jnp.ones_like(res_up))
+        chi2 = ekf.innovation_chi2(state.cov, H_up, res_up, jnp.ones_like(res_up))
         dof = jnp.maximum(n_rows - 3, 1)
         passed = chi2 <= opts.chi2_multipler * table[jnp.clip(dof, 1, table.shape[0] - 1)]
         do_update = valid & passed
 
-        st_new, _ = ekf.ekf_update(st, H_up, res_up, jnp.ones_like(res_up))
-        st_out = jax.tree.map(lambda a, b: jnp.where(do_update, a, b), st_new, st)
-
-        # Consume these features (pass or fail — they were exercised).
+        # Rejected groups contribute zero rows to the stack.
+        gate = do_update.astype(dtype)
         used_here = jnp.zeros((M + 1,), bool).at[jnp.where(fvalid, fpos, M)].set(True)[:M]
-        consumed_out = consumed_c | jnp.where(valid, used_here, False)
-        return (st_out, consumed_out), do_update
+        return H_up * gate, res_up * gate, do_update, valid, used_here
 
-    (state, consumed), updated = jax.lax.scan(
-        body, (state, consumed), jnp.arange(opts.max_planes_per_frame)
+    H_all, res_all, updated, valids, used = jax.vmap(group)(
+        jnp.arange(opts.max_planes_per_frame)
     )
+    consumed = jnp.any(valids[:, None] & used, axis=0)
+
+    # One stacked update for every surviving group: re-compress the
+    # [G·C, D] stack to D+1 whitened rows (exact — the update is invariant
+    # under orthogonal row transforms and zero rows), then a single
+    # EKFUpdate ≡ UpdaterMSCKF.cpp:647.
+    stack = jnp.concatenate(
+        [H_all.reshape(-1, D), res_all.reshape(-1)[:, None]], axis=1)
+    if opts.base.use_info_compression:
+        stc = ekf.info_compress_rows(stack)
+    else:
+        stc, _ = ekf.measurement_compress(stack, jnp.zeros((stack.shape[0],), dtype))
+    H_one = stc[:, :D]
+    res_one = stc[:, D]
+    st_new, _ = ekf.ekf_update(state, H_one, res_one, jnp.ones_like(res_one))
+    any_update = jnp.any(updated)
+    state = jax.tree.map(lambda a, b: jnp.where(any_update, a, b), st_new, state)
     return state, consumed, jnp.sum(updated), n_dropped
