@@ -166,12 +166,16 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
         chi2 = ekf.innovation_chi2(state.cov, H_up, res_up, jnp.ones_like(res_up))
         dof = jnp.maximum(n_rows - 3, 1)
         passed = chi2 <= opts.chi2_multipler * table[jnp.clip(dof, 1, table.shape[0] - 1)]
-        do_update = valid & passed
+        # A degenerate group (GN blow-up, rank-deficient fit) can carry
+        # non-finite rows; NaN comparisons gate it out of `passed` here, but
+        # the rows must ALSO be excluded by `where` (NaN·0 = NaN would
+        # otherwise poison the cross-group stack).
+        finite = jnp.all(jnp.isfinite(H_up)) & jnp.all(jnp.isfinite(res_up))
+        do_update = valid & passed & finite
 
-        # Rejected groups contribute zero rows to the stack.
-        gate = do_update.astype(dtype)
         used_here = jnp.zeros((M + 1,), bool).at[jnp.where(fvalid, fpos, M)].set(True)[:M]
-        return H_up * gate, res_up * gate, do_update, valid, used_here
+        return (jnp.where(do_update, H_up, 0.0), jnp.where(do_update, res_up, 0.0),
+                do_update, valid, used_here)
 
     H_all, res_all, updated, valids, used = jax.vmap(group)(
         jnp.arange(opts.max_planes_per_frame)

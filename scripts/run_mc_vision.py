@@ -222,11 +222,22 @@ def run_variant(cfg0, sim, frames, B, seed, use_planes, dt, label):
 
 
 def paired_stats(on, off):
-    """mean ± std per arm + paired-t 95% CI on the Δ (ON − OFF)."""
+    """mean ± std per arm + paired-t 95% CI on the Δ (ON − OFF).
+
+    Divergent seeds (non-finite ATE — a stream that NaN'd or blew up) are
+    excluded PAIRWISE and counted: the reference's MC protocol averages the
+    runs that completed, and a divergence count is itself a robustness
+    result that must be reported, not hidden (see BASELINE.md)."""
     on, off = np.asarray(on), np.asarray(off)
+    finite = np.isfinite(on).all(axis=1) & np.isfinite(off).all(axis=1)
+    out = {"n_seeds": int(len(on)),
+           "n_diverged_on": int((~np.isfinite(on).all(axis=1)).sum()),
+           "n_diverged_off": int((~np.isfinite(off).all(axis=1)).sum())}
+    on, off = on[finite], off[finite]
+    if len(on) == 0:
+        return out
     d = on - off
     nb = len(d)
-    out = {}
     for j, name in enumerate(["pos_m", "ori_deg"]):
         dj = d[:, j]
         sd = dj.std(ddof=1) if nb > 1 else 0.0
@@ -285,7 +296,14 @@ def main():
         stats = paired_stats(ates[True], ates[False])
         results["cells"][dname] = {
             "ate_on": ates[True], "ate_off": ates[False], "stats": stats}
+        if stats.get("n_diverged_on") or stats.get("n_diverged_off"):
+            print(f"[mc] {args.scene}/{dname}: DIVERGED seeds — "
+                  f"ON {stats['n_diverged_on']}/{stats['n_seeds']}, "
+                  f"OFF {stats['n_diverged_off']}/{stats['n_seeds']} "
+                  f"(stats over the converged pairs)")
         for name, s in stats.items():
+            if not isinstance(s, dict):
+                continue
             lo, hi = s["delta_ci95"]
             sig = "SIGNIFICANT" if (lo > 0) == (hi > 0) and lo * hi > 0 else "within noise"
             print(f"[mc] {args.scene}/{dname} {name}: ON {s['on_mean']:.4f}"
