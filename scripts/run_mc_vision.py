@@ -129,7 +129,19 @@ def _accel_device():
     return jax.devices()[0]
 
 
-def render_frames(cfg, sim, render, n):
+def render_frames(cfg, sim, render, n, scene="", dense=False):
+    # Disk cache: the textured host render of a 400-500-frame sequence costs
+    # 10-25 min on this 4-vCPU box and is fully deterministic in
+    # (scene, density, n, resolution) — re-measuring a cell (post-fix
+    # validation, dtype discriminators) should not pay it twice.
+    cache = ""
+    if scene:
+        cache = (f"/tmp/mc_frames_{scene}_{'dense' if dense else 'sparse'}"
+                 f"_n{n}_w{cfg.cam_wh[0]}x{cfg.cam_wh[1]}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            print(f"[mc] loaded {n} cached frames from {cache}", file=sys.stderr)
+            return [z["frames"][i] for i in range(n)]
     _, traj_pos, _ = get_trajectory(cfg.sim)
     planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
     R_ItoC = np.asarray(quat_2_rot(jnp.asarray(cfg.cam_extrinsics[0:4])))
@@ -142,10 +154,14 @@ def render_frames(cfg, sim, render, n):
         frames.append(render_frame_textured(
             planes.corners, planes.normal, planes.d, feat_p, R_GtoI,
             np.asarray(sim.gt_p[i]), R_ItoC, p_IinC, zeta, cfg.cam_wh, **render))
+    if cache:
+        np.savez_compressed(cache, frames=np.stack(frames).astype(np.float32))
+        print(f"[mc] cached frames -> {cache}", file=sys.stderr)
     return frames
 
 
-def run_variant(cfg0, sim, frames, B, seed, use_planes, dt, label):
+def run_variant(cfg0, sim, frames, B, seed, use_planes, dt, label,
+                img_noise=0.01):
     cfg = copy.deepcopy(cfg0)
     cfg.state.use_plane_constraint = use_planes
     cfg.state.use_plane_slam_feats = use_planes
@@ -181,7 +197,10 @@ def run_variant(cfg0, sim, frames, B, seed, use_planes, dt, label):
     def _noisy(i):
         # Per-frame iid per-stream image noise, then the camera ADC (8-bit
         # lattice quantization — keeps the u8 wire exactly lossless).
-        x = np.clip(frames[i - 1][None] + rng.normal(0.0, 0.01, (B, H, Wd)), 0.0, 1.0)
+        x = frames[i - 1][None]
+        if img_noise > 0:
+            x = x + rng.normal(0.0, img_noise, (B, H, Wd))
+        x = np.clip(x, 0.0, 1.0)
         return np.rint(x * np.float32(255.0)).astype(np.float32) * np.float32(1.0 / 255.0)
 
     img_iter = Prefetcher((_noisy(i) for i in range(1, n + 1)),
@@ -265,15 +284,26 @@ def main():
     ap.add_argument("--seed0", type=int, default=17)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--densities", default="dense,sparse")
+    ap.add_argument("--img-noise", type=float, default=0.01,
+                    help="per-frame per-stream iid image noise sigma ([0,1] "
+                         "scale) added before the 8-bit ADC; 0 = clean "
+                         "renders (seeds then differ only in IMU noise — "
+                         "the round-3 single-seed protocol's noise model)")
+    ap.add_argument("--dtype", default="auto", choices=["auto", "f32", "f64"],
+                    help="filter dtype override (auto: f32 on accel, f64 on "
+                         "CPU) — 'f32' on CPU isolates precision effects "
+                         "from device effects")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
     accel = _accel_device()
     on_accel = accel.platform not in ("cpu",)
-    dt = jnp.float32 if on_accel else jnp.float64
+    dt = {"auto": jnp.float32 if on_accel else jnp.float64,
+          "f32": jnp.float32, "f64": jnp.float64}[args.dtype]
     print(f"[mc] device {accel}, filter dtype {dt.__name__}", file=sys.stderr)
 
-    results = {"scene": args.scene, "seeds": args.seeds, "cells": {}}
+    results = {"scene": args.scene, "seeds": args.seeds,
+               "img_noise": args.img_noise, "dtype": args.dtype, "cells": {}}
     for dense in [d.strip() == "dense" for d in args.densities.split(",")]:
         cfg, render = scene_config(args.scene, dense)
         t0 = time.time()
@@ -283,7 +313,7 @@ def main():
         n = int(sim.cam_t_imu.shape[0]) - 1
         if args.max_frames:
             n = min(n, args.max_frames)
-        frames = render_frames(cfg, sim, render, n)
+        frames = render_frames(cfg, sim, render, n, scene=args.scene, dense=dense)
         print(f"[mc] {args.scene}/{'dense' if dense else 'sparse'}: {n} frames "
               f"rendered in {time.time()-t0:.0f}s (untimed)", file=sys.stderr)
 
@@ -292,7 +322,8 @@ def main():
         for use_planes in (True, False):
             label = f"{args.scene}/{dname}/{'ON' if use_planes else 'OFF'}"
             ates[use_planes] = run_variant(cfg, sim, frames, args.seeds,
-                                           args.seed0, use_planes, dt, label)
+                                           args.seed0, use_planes, dt, label,
+                                           img_noise=args.img_noise)
         stats = paired_stats(ates[True], ates[False])
         results["cells"][dname] = {
             "ate_on": ates[True], "ate_off": ates[False], "stats": stats}
