@@ -220,10 +220,16 @@ class BagReader:
 
     def read_messages(self, topics: Optional[set] = None):
         """Yield (topic, type, stamp, payload_bytes) for matching topics."""
+        # Connections accumulate ACROSS chunks: rosbag's C++ writer puts a
+        # connection record inside each chunk before the connection's first
+        # message there, and repeats them all in the trailing index section —
+        # but a crash-truncated bag (no index section; `rosbag reindex`
+        # territory) may only carry the in-chunk copy from an EARLIER chunk,
+        # so the running dict must persist for the whole scan.
+        local_conns = dict(self.connections)
         for hdr, data in self._chunks:
             comp = hdr.get(b"compression", b"none")
             raw = _decompress(data, comp)
-            local_conns = dict(self.connections)
             for rh, rd in _records(raw):
                 op = rh.get(b"op", b"\x00")[0]
                 if op == _OP_CONNECTION:

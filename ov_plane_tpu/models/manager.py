@@ -89,6 +89,11 @@ class StepOutput(NamedTuple):
     # Qualifying out-of-state plane groups beyond the static per-frame cap
     # (the reference processes every group; nonzero = parity gap this frame).
     n_plane_dropped: jnp.ndarray = None
+    # 3×3 marginal orientation/position covariance blocks — the reference
+    # computes NEES from the marginal-BLOCK inverse, not the diagonal
+    # (ROS1Visualizer.cpp:850-852); eval.metrics.nees_full consumes these.
+    cov_ori_blk: jnp.ndarray = None  # [3,3]
+    cov_pos_blk: jnp.ndarray = None  # [3,3]
 
 
 @dataclass(frozen=True)
@@ -225,7 +230,12 @@ class VioEngine:
         )
         po = PlaneInitOptions(
             jac=jac, tri=tri,
-            refine=PlaneRefineOptions(sigma_px=cfg.msckf_options.sigma_pix, sigma_c=cfg.state.sigma_constraint),
+            refine=PlaneRefineOptions(
+                sigma_px=cfg.msckf_options.sigma_pix, sigma_c=cfg.state.sigma_constraint,
+                cauchy_scale=cfg.state.plane_refine_cauchy,
+                max_error_threshold=cfg.state.plane_refine_max_error,
+                min_inlier_ratio=cfg.state.plane_refine_min_inlier_ratio),
+            sigma_c_adaptive=cfg.tpu.sigma_c_adaptive,
             sigma_px=cfg.msckf_options.sigma_pix,
             sigma_c=cfg.state.sigma_constraint,
             const_init_multi=cfg.state.const_init_multi,
@@ -634,6 +644,8 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         n_plane_constraints=n_plane_constraints,
         n_plane_merges=n_plane_merges,
         n_plane_dropped=n_plane_dropped,
+        cov_ori_blk=state.cov[0:3, 0:3],
+        cov_pos_blk=state.cov[3:6, 3:6],
     )
     return state, bank, out
 

@@ -60,11 +60,16 @@ class PlaneInitOptions(NamedTuple):
     # :83-195). Off for the noise-free simulator; on for the vision pipeline.
     use_ransac: bool = False
     ransac: PlaneRansacOptions = PlaneRansacOptions()
-    # Information-form compression (gram + Cholesky ≡ thin QR's R factor,
-    # ekf.info_compress_rows): one MXU contraction instead of the TPU's
-    # latency-bound sequential-Householder QR custom call. Plumbed from
+    # Information-form compression (gram + Cholesky ≡ thin QR's R factor for
+    # full-rank stacks; rank-deficient stacks take a guarded eps-jittered
+    # fallback — ekf.info_compress_rows): one MXU contraction instead of the
+    # TPU's latency-bound sequential-Householder QR custom call. Plumbed from
     # tpu.use_info_compression alongside the classic-path switch.
     use_info_compression: bool = False
+    # Noise-adaptive constraint whitening (tpu.sigma_c_adaptive): constraint
+    # rows use sqrt(sigma_c² + mean point-to-plane residual²) of the refined
+    # support, so noisy/contaminated groups weaken their own constraint.
+    sigma_c_adaptive: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -129,21 +134,39 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
         valid = valid & fit_ok & (cond <= opts.plane_init_max_cond) & (jnp.sum(fvalid) >= opts.plane_init_min_feat)
         if opts.use_refine_plane_feat:
-            cp, p_f2, ref_ok = refine_plane_joint(
+            cp, p_f2, ref_ok, inl = refine_plane_joint(
                 cp0, p_f, uvn, masks, fvalid, jnp.zeros_like(fvalid),
                 clones.R_GtoC, clones.p_CinG, opts.refine,
             )
-            cp = jnp.where(ref_ok, cp, cp0)
-            p_f = jnp.where(ref_ok, p_f2, p_f)
+            if opts.refine.max_error_threshold > 0.0:
+                # Reference semantics: a failed optimize_plane ABORTS the
+                # init (UpdaterPlane.cpp:261 `continue`), and only the
+                # re-accepted inliers keep constraint rows
+                # (PlaneFitting.cpp:452-481 prunes feats to the inlier set).
+                valid = valid & ref_ok
+                fvalid = fvalid & inl
+                masks = masks & fvalid[:, None]
+                valid = valid & (jnp.sum(fvalid) >= opts.plane_init_min_feat)
+                p_f = p_f2
+            else:
+                cp = jnp.where(ref_ok, cp, cp0)
+                p_f = jnp.where(ref_ok, p_f2, p_f)
         else:
             cp = cp0
+
+        sigma_c_run = jnp.asarray(opts.sigma_c, dtype)
+        if opts.sigma_c_adaptive:
+            d_pl = jnp.maximum(jnp.linalg.norm(cp), 1e-9)
+            r_pp = (p_f @ (cp / d_pl) - d_pl) * fvalid
+            s2 = jnp.sum(r_pp**2) / jnp.maximum(jnp.sum(fvalid), 1)
+            sigma_c_run = jnp.sqrt(opts.sigma_c**2 + s2)
 
         # Stacked Jacobians with CP in the H_f[:,3:6] columns (not in state).
         def jac_one(uv_f, m_f, pf):
             return feature_jacobian_full(
                 lay, opts.jac, clones, uv_f, m_f, pf, pf, cp, cp,
                 jnp.asarray(True), jnp.asarray(False), jnp.zeros((), jnp.int32),
-                opts.sigma_px, opts.sigma_c,
+                opts.sigma_px, sigma_c_run,
             )
 
         H_x, H_f, res, rmask = jax.vmap(jac_one)(uv, masks, p_f)

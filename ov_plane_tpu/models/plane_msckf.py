@@ -122,18 +122,36 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
 
         cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
         valid = valid & fit_ok & (cond <= opts.plane_msckf_max_cond) & (jnp.sum(fvalid) >= opts.plane_msckf_min_feat)
-        cp, p_f2, ref_ok = refine_plane_joint(
+        cp, p_f2, ref_ok, inl = refine_plane_joint(
             cp0, p_f, uvn, masks, fvalid, jnp.zeros_like(fvalid),
             clones.R_GtoC, clones.p_CinG, opts.base.refine,
         )
-        cp = jnp.where(ref_ok, cp, cp0)
-        p_f = jnp.where(ref_ok, p_f2, p_f)
+        if opts.base.refine.max_error_threshold > 0.0:
+            # Reference semantics: optimize_plane failure skips the whole
+            # plane group — its members fall back to the classic point
+            # update (UpdaterMSCKF.cpp:353-356) — and survivors are pruned
+            # to the re-accepted inlier set (PlaneFitting.cpp:452-481).
+            valid = valid & ref_ok
+            fvalid = fvalid & inl
+            masks = masks & fvalid[:, None]
+            valid = valid & (jnp.sum(fvalid) >= opts.plane_msckf_min_feat)
+            p_f = p_f2
+        else:
+            cp = jnp.where(ref_ok, cp, cp0)
+            p_f = jnp.where(ref_ok, p_f2, p_f)
+
+        sigma_c_run = jnp.asarray(opts.base.sigma_c, dtype)
+        if opts.base.sigma_c_adaptive:
+            d_pl = jnp.maximum(jnp.linalg.norm(cp), 1e-9)
+            r_pp = (p_f @ (cp / d_pl) - d_pl) * fvalid
+            s2 = jnp.sum(r_pp**2) / jnp.maximum(jnp.sum(fvalid), 1)
+            sigma_c_run = jnp.sqrt(opts.base.sigma_c**2 + s2)
 
         def jac_one(uv_f, m_f, pf):
             return feature_jacobian_full(
                 lay, opts.base.jac, clones, uv_f, m_f, pf, pf, cp, cp,
                 jnp.asarray(True), jnp.asarray(False), jnp.zeros((), jnp.int32),
-                opts.base.sigma_px, opts.base.sigma_c,
+                opts.base.sigma_px, sigma_c_run,
             )
 
         H_x, H_f, res, rmask = jax.vmap(jac_one)(uv, masks, p_f)

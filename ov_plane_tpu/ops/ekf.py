@@ -305,9 +305,13 @@ def measurement_compress(H: jnp.ndarray, res: jnp.ndarray, out_rows: int | None 
 @jax.jit
 def info_compress_rows(M_big: jnp.ndarray) -> jnp.ndarray:
     """Triangular compressed rows of a stacked block via the information form:
-    returns R [C, C] with RᵀR = M_bigᵀ M_big — the SAME R factor thin QR
-    produces (chol(G) = Lᵀ = R up to the sign convention; Cholesky's diagonal
-    is positive, QR's sign-free rotations don't affect any downstream use).
+    returns R [C, C] with RᵀR = M_bigᵀ M_big — the same R factor thin QR
+    produces (chol(G) = Lᵀ = R up to the sign convention) whenever the
+    nonzero columns' Gram is numerically SPD, which is the generic case for
+    these stacks. Rank-deficient stacks (rows < columns, or linearly
+    dependent columns) fall back to an eps·I-jittered Cholesky
+    (eps = 1e-7 f32 / 1e-14 f64), selected per call by a finite check on the
+    exact factor — there RᵀR = G only to ~eps relative.
 
     Why not jnp.linalg.qr: on TPU a [rows, C] QR is a sequential Householder
     custom call whose latency scales with C regardless of rows (measured: the
@@ -326,12 +330,23 @@ def info_compress_rows(M_big: jnp.ndarray) -> jnp.ndarray:
     # satisfies RᵀR = G bit-for-the-same-math — and removes the unit spread
     # from the conditioning before the square.
     s = jnp.sqrt(jnp.sum(M_big * M_big, axis=0))
-    s = jnp.where(s > 0, s, 1.0)
-    Mn = M_big / s[None, :]
+    nz = s > 0
+    sg = jnp.where(nz, s, 1.0)
+    Mn = M_big / sg[None, :]
     G = Mn.T @ Mn
+    # Identity-embed the all-zero columns (masked state dims, padded slots):
+    # their row/col in G is zero, so a unit pivot lets the factorization pass
+    # through them with L[:,j] = e_j, and the final column scaling by s_j = 0
+    # removes the embedded entry exactly — row j of the returned R is
+    # identically zero, the valid semidefinite factor. (The round-4 eps·I
+    # jitter instead left spurious √eps rows on every masked dim and made
+    # RᵀR = G only approximate even for full-rank stacks.)
+    Ge = G + jnp.diag(jnp.where(nz, 0.0, 1.0).astype(G.dtype))
+    L = jnp.linalg.cholesky(Ge)
     eps = jnp.asarray(1e-7 if G.dtype == jnp.float32 else 1e-14, G.dtype)
-    L = jnp.linalg.cholesky(G + eps * jnp.eye(C, dtype=G.dtype))
-    return L.T * s[None, :]
+    Lj = jnp.linalg.cholesky(Ge + eps * jnp.eye(C, dtype=G.dtype))
+    L = jnp.where(jnp.all(jnp.isfinite(L)), L, Lj)
+    return L.T * jnp.where(nz, s, 0.0)[None, :]
 
 
 @jax.jit

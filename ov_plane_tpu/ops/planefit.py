@@ -44,6 +44,19 @@ class PlaneRefineOptions(NamedTuple):
     sigma_px: float = 1.0
     sigma_c: float = 0.05
     slam_sigma_multi: float = 2.0   # inflation for fixed SLAM feats (PlaneFitting.cpp:330)
+    # Cauchy robust loss scale on the WHITENED residuals — the reference wraps
+    # every reprojection and point-on-plane factor in ceres::CauchyLoss(1.0)
+    # (PlaneFitting.cpp:256,367); IRLS weight w = 1/(1 + s/a²), s = ‖r‖².
+    # 0.0 disables (plain quadratic GN).
+    cauchy_scale: float = 1.0
+    # Post-optimization inlier re-acceptance (PlaneFitting.cpp:452-495): a
+    # feature survives iff its pre-opt point is within this point-to-plane
+    # distance of the refined plane, its refined point is finite and in front
+    # of its newest observing camera, and the group keeps
+    # ≥ max(4, min_inlier_ratio·n) survivors — else the whole refine FAILS.
+    # 0.0 disables (keep all features, the pre-round-5 behavior).
+    max_error_threshold: float = 0.03
+    min_inlier_ratio: float = 0.80
 
 
 def fit_plane_lsq(points, mask):
@@ -153,12 +166,28 @@ def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
 
     cp0 [3]; feats0 [N,3]; uvn [N,K,2]; mask [N,K]; feat_valid [N];
     is_fixed [N] (SLAM features held fixed, constraint sigma inflated —
-    PlaneFitting.cpp:318-336). Returns (cp, feats, ok).
+    PlaneFitting.cpp:318-336). Returns (cp, feats, ok, inliers[N]):
+    `inliers` is the post-opt re-acceptance mask (PlaneFitting.cpp:452-481) —
+    callers must drop non-inliers from the plane group; `ok` is False when
+    the surviving count falls below max(4, min_inlier_ratio·n)
+    (PlaneFitting.cpp:487-495).
     """
     dtype = cp0.dtype
     white_px = 1.0 / opts.sigma_px
     N = feats0.shape[0]
     I3 = jnp.eye(3, dtype=dtype)
+    a2 = opts.cauchy_scale**2
+
+    def cauchy_w(s):
+        # IRLS weight ρ'(s) of ρ(s) = a²·log(1 + s/a²): rows scale by √w.
+        if opts.cauchy_scale <= 0.0:
+            return jnp.ones_like(s)
+        return 1.0 / (1.0 + s / a2)
+
+    def rho(s):
+        if opts.cauchy_scale <= 0.0:
+            return s
+        return a2 * jnp.log1p(s / a2)
 
     def iteration(carry, _):
         cp, feats, lam = carry
@@ -168,8 +197,15 @@ def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
         def per_feat(p, uvn_f, mask_f, wc):
             # e_re = w(meas − pred), A = ∂e_re/∂p; e_pl = wc(n·p − d),
             # b = ∂e_pl/∂p, c = ∂e_pl/∂cp. GN: H = JᵀJ, g = −Jᵀe, x += H⁻¹g.
+            # Each residual block carries its Cauchy IRLS weight (the
+            # reference's CauchyLoss(1.0) per factor, PlaneFitting.cpp:256,367).
             e_re, A = _reproj_system(p, uvn_f, mask_f, R_GtoC, p_CinG, white_px)
+            sw_re = jnp.sqrt(cauchy_w(jnp.sum(e_re**2, axis=1)))     # [K]
+            e_re = e_re * sw_re[:, None]
+            A = A * sw_re[:, None, None]
             e_pl, b, c = _plane_residual(p, cp, wc)
+            sw_pl = jnp.sqrt(cauchy_w(e_pl**2))
+            e_pl, b, c = e_pl * sw_pl, b * sw_pl, c * sw_pl
             Hff = jnp.einsum("kai,kaj->ij", A, A) + jnp.outer(b, b)
             gf = -(jnp.einsum("kai,ka->i", A, e_re) + b * e_pl)
             Hfc = jnp.outer(b, c)
@@ -202,10 +238,12 @@ def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
         df = df * frees[:, None]
 
         def cost(cp_c, feats_c):
+            # Robustified objective Σρ(s) — the same function the GN step
+            # descends, so the LM accept test is consistent with the loss.
             def c_one(p, uvn_f, mask_f, wc, v):
                 e_re, _ = _reproj_system(p, uvn_f, mask_f, R_GtoC, p_CinG, white_px)
                 e_pl, _, _ = _plane_residual(p, cp_c, wc)
-                return (jnp.sum(e_re**2) + e_pl**2) * v
+                return (jnp.sum(rho(jnp.sum(e_re**2, axis=1))) + rho(e_pl**2)) * v
             return jnp.sum(jax.vmap(c_one)(feats_c, uvn, mask, white_c, vf))
 
         c_old = cost(cp, feats)
@@ -222,7 +260,29 @@ def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
         iteration, (cp0, feats0, jnp.asarray(opts.lam_init, dtype)), None, length=opts.iters
     )
     ok = jnp.all(jnp.isfinite(cp)) & (jnp.linalg.norm(cp) > 1e-6)
-    return cp, feats, ok
+
+    # ---- post-opt inlier re-acceptance (PlaneFitting.cpp:452-495) ----------
+    if opts.max_error_threshold > 0.0:
+        d = jnp.maximum(jnp.linalg.norm(cp), 1e-9)
+        n = cp / d
+        # Reference semantics: pre-opt point vs the REFINED plane
+        # (point_to_plane_distance(feat->p_FinG, plane_abcd) runs before the
+        # estimate overwrite, PlaneFitting.cpp:462-464).
+        err_pre = jnp.abs(feats0 @ n - d)
+        finite = jnp.all(jnp.isfinite(feats), axis=1)
+        # In-front-of-camera check (z ≥ 0.1, :471-474) against each feature's
+        # newest observing clone (the reference uses the current IMU clone).
+        k_idx = jnp.argmax(
+            jnp.where(mask, jnp.arange(mask.shape[1])[None, :], -1), axis=1)
+        p_C = jnp.einsum("nij,nj->ni", R_GtoC[k_idx], feats - p_CinG[k_idx])
+        front = p_C[:, 2] > 0.1
+        inl = feat_valid & (err_pre < opts.max_error_threshold) & finite & (front | is_fixed)
+        n_valid = jnp.sum(feat_valid)
+        need = jnp.maximum(4, jnp.ceil(opts.min_inlier_ratio * n_valid).astype(jnp.int32))
+        ok = ok & (jnp.sum(inl) >= need)
+    else:
+        inl = feat_valid
+    return cp, feats, ok, inl
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -65,6 +65,13 @@ class StateOptions:
     plane_init_max_cond: float = 50.0
     plane_msckf_min_feat: int = 5
     plane_msckf_max_cond: float = 50.0
+    # Robust plane refinement (reference hardcodes these in optimize_plane:
+    # CauchyLoss(1.0) on every factor, PlaneFitting.cpp:256,367; post-opt
+    # inlier re-acceptance at 0.03 m with ≥max(4, 0.8·n) survivors,
+    # :452-495). Exposed as config so sweeps can ablate them; 0 disables.
+    plane_refine_cauchy: float = 1.0
+    plane_refine_max_error: float = 0.03
+    plane_refine_min_inlier_ratio: float = 0.80
     # Plane-feature triangulation gates (plane_feat_* keys in YAML).
     plane_feat_min_obs: int = 2
     plane_min_dist: float = 0.10
@@ -213,6 +220,13 @@ class TpuOptions:
     # measurement rows (empty = off). Requires running under jax.set_mesh.
     shard_axis: str = ""
     use_info_compression: bool = False
+    # Noise-adaptive constraint sigma (TPU-native extension, no reference
+    # analogue — the reference computes the support's point-to-plane scatter
+    # but only prints it, PlaneFitting.cpp:498-505): when on, each plane
+    # group's constraint rows are whitened with
+    # sqrt(sigma_constraint² + mean residual²) instead of the fixed sigma,
+    # so contaminated/noisy support automatically weakens its own constraint.
+    sigma_c_adaptive: bool = False
 
 
 @dataclass

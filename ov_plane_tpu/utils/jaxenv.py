@@ -8,9 +8,29 @@ poisons local runs. Keying the directory by the requested platform string
 keeps remote-compiled and locally-compiled artifacts separate.
 """
 
+import hashlib
 import os
 
 import jax
+
+
+def host_cpu_tag() -> str:
+    """Short fingerprint of THIS host's CPU feature set.
+
+    XLA:CPU AOT blobs embed the compile machine's features and are loaded
+    with only a logged error on mismatch ("could lead to execution errors
+    such as SIGILL") — a cache directory carried across a rig migration
+    silently executes foreign-microarch code. Keying the dir by the host's
+    cpuinfo flags forces a cold cache instead.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+
+        flags = platform.processor() or "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
 
 
 def setup_cache(tag: str = "") -> str:
@@ -18,8 +38,13 @@ def setup_cache(tag: str = "") -> str:
 
     Reads JAX_PLATFORMS from the environment (NOT jax.default_backend(),
     which would initialize the backend and can block on the remote tunnel).
+    CPU directories additionally carry the host-CPU fingerprint (see
+    host_cpu_tag) so locally-AOT-compiled artifacts never outlive the
+    machine they were compiled for.
     """
     plat = (os.environ.get("JAX_PLATFORMS") or "axon").split(",")[0].strip() or "axon"
+    if plat == "cpu":
+        plat = f"cpu_{host_cpu_tag()}"
     path = f"/tmp/jax_cache_ovplane_{plat}{('_' + tag) if tag else ''}"
     jax.config.update("jax_compilation_cache_dir", path)
     return path

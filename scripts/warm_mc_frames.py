@@ -16,10 +16,21 @@ import os
 import sys
 import time
 
+# CPU-only by construction: these must be set before `import jax` binds a
+# backend, so the script never claims the shared TPU even when run without
+# the documented env prefix. (sitecustomize may have already registered the
+# axon plugin at interpreter boot; pinning JAX_PLATFORMS=cpu here still wins
+# because the backend is chosen lazily at first use.)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 

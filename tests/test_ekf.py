@@ -123,6 +123,34 @@ def test_measurement_compress_information_equivalent():
     np.testing.assert_allclose(np.asarray(Hc).T @ np.asarray(rc), H.T @ res, atol=1e-8)
 
 
+def test_info_compress_rows_exact_on_full_rank():
+    """Generic case: RᵀR = MᵀM to machine precision (no jitter on the exact
+    path), and all-zero columns (masked state dims) yield identically-zero
+    rows/columns of R — the semidefinite factor, not √eps residue."""
+    M, C = 80, 20
+    A = RNG.normal(size=(M, C))
+    A[:, [3, 11, 17]] = 0.0           # masked columns
+    A[:, 5] *= 1e4                    # mixed units (equilibration path)
+    R = np.asarray(ekf.info_compress_rows(jnp.asarray(A)))
+    assert R.shape == (C, C)
+    np.testing.assert_allclose(R.T @ R, A.T @ A, rtol=1e-12, atol=1e-12)
+    for j in (3, 11, 17):
+        assert np.all(R[j, :] == 0.0) and np.all(R[:, j] == 0.0)
+
+
+def test_info_compress_rows_rank_deficient_fallback():
+    """Fewer rows than (nonzero) columns → the guarded jittered fallback:
+    finite output with RᵀR ≈ MᵀM at the jitter scale."""
+    M, C = 6, 12
+    A = RNG.normal(size=(M, C))
+    R = np.asarray(ekf.info_compress_rows(jnp.asarray(A)))
+    assert np.isfinite(R).all()
+    np.testing.assert_allclose(R.T @ R, A.T @ A, atol=1e-6)
+    # All-zero input compresses to exactly zero (padded empty group stacks).
+    Rz = np.asarray(ekf.info_compress_rows(jnp.zeros((M, C))))
+    assert np.all(Rz == 0.0)
+
+
 def test_qr_init_split_consistency():
     M, c, Dx = 14, 3, 10
     H_L = RNG.normal(size=(M, c))

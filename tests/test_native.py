@@ -168,3 +168,43 @@ def test_voxel_map_downsample():
     assert added <= 6 ** 3
     xyz, _ = m.flatten()
     assert len(xyz) == added
+
+
+def test_voxel_map_dedup_matches_device_store():
+    """The production --map-out path (run_euroc.py) consolidates the device
+    MapBlocks cloud through the native host grid; both must implement the
+    SAME downsample semantics — floor(p/voxel) lattice, first point per voxel
+    in insertion order (the ikd-tree's Add_Points(downsample_on=true),
+    ikd_tree.h:240-261) — so the host pass is a dedup, never a re-sampling.
+    """
+    import jax.numpy as jnp
+
+    from ov_plane_tpu.frontend import map_blocks as mb
+
+    voxel = 0.25
+    n_batches, B = 4, 64
+    dev = mb.MapBlocks.create(1024, voxel=voxel, dtype=jnp.float64)
+    host = native.VoxelPointMap(voxel=1.0, downsample=voxel)
+    all_pts = []
+    for b in range(n_batches):
+        pts = RNG.uniform(-2, 2, size=(B, 3))
+        pts[b::3] = pts[(b + 1) % B]  # force duplicates within/between batches
+        pid = RNG.integers(0, 5, size=B).astype(np.int32)
+        mask = np.ones(B, bool)
+        mask[-3:] = False
+        dev, _ = mb.insert(dev, jnp.asarray(pts), jnp.asarray(pid), jnp.asarray(mask))
+        host.add(pts[mask], pid[mask].astype(np.int32), downsample=True)
+        all_pts.append(pts[mask])
+
+    dev_act = np.asarray(dev.plane_id) >= 0
+    dev_pts = np.asarray(dev.points)[dev_act]
+    host_pts, _ = host.flatten()
+    assert len(dev_pts) == len(host_pts)
+    canon = lambda a: set(map(tuple, np.round(a, 9)))
+    assert canon(dev_pts) == canon(host_pts)
+
+    # The map-out consolidation invariant: re-deduplicating an already
+    # device-deduped cloud at the same resolution is the identity.
+    grid2 = native.VoxelPointMap(voxel=1.0, downsample=voxel)
+    kept = grid2.add(dev_pts, downsample=True)
+    assert kept == len(dev_pts)

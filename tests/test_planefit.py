@@ -80,19 +80,87 @@ def test_refine_plane_joint_converges():
             if pc[2] > 0.2:
                 uvn[i, k] = pc[:2] / pc[2]
                 mask[i, k] = True
-    # Perturb initial guesses.
+    # Perturb initial guesses (within the 3 cm re-acceptance bound — real
+    # callers seed from triangulation, whose error tracks the observations).
     rng = np.random.default_rng(5)
-    feats0 = feats_true + 0.05 * rng.normal(size=feats_true.shape)
+    feats0 = feats_true + 0.01 * rng.normal(size=feats_true.shape)
     cp0 = cp_true + np.array([0.05, -0.03, 0.08])
     opts = PlaneRefineOptions(iters=15, sigma_px=1e-3, sigma_c=0.05)
-    cp, feats, ok = refine_plane_joint(
+    cp, feats, ok, inl = refine_plane_joint(
         jnp.asarray(cp0), jnp.asarray(feats0), jnp.asarray(uvn), jnp.asarray(mask),
         jnp.ones(N, bool), jnp.zeros(N, bool), jnp.asarray(R_GtoC), jnp.asarray(p_CinG),
         opts,
     )
     assert bool(ok)
+    assert bool(jnp.all(inl))  # clean data: every feature re-accepted
     np.testing.assert_allclose(np.asarray(cp), cp_true, atol=2e-3)
     np.testing.assert_allclose(np.asarray(feats), feats_true, atol=2e-3)
+
+
+def _plane_obs_problem(n_out=0, seed=3):
+    """Plane-fit problem with n_out contaminated features (observations of
+    points OFF the plane that carry on-plane initial guesses)."""
+    cp_true = np.array([0.0, 0.0, 2.0])
+    N, K = 12, 6
+    feats_true = make_plane_points(N, cp_true, rng=np.random.default_rng(seed))
+    pts_obs = feats_true.copy()
+    pts_obs[:n_out, 2] += 0.35          # true points are off-plane
+    R_GtoC, p_CinG = _camera_ring(K, np.array([0.0, 0.0, 2.0]))
+    uvn = np.zeros((N, K, 2))
+    mask = np.zeros((N, K), bool)
+    for i in range(N):
+        for k in range(K):
+            pc = R_GtoC[k] @ (pts_obs[i] - p_CinG[k])
+            if pc[2] > 0.2:
+                uvn[i, k] = pc[:2] / pc[2]
+                mask[i, k] = True
+    rng = np.random.default_rng(seed + 2)
+    # Initial guesses come from triangulation in the real callers, so they
+    # track the OBSERVED (off-plane for outliers) positions — exactly the
+    # pre-opt points the reference's re-acceptance distance tests
+    # (PlaneFitting.cpp:462-464 runs on p_FinG before the overwrite).
+    feats0 = pts_obs + 0.01 * rng.normal(size=feats_true.shape)
+    cp0 = cp_true + np.array([0.05, -0.03, 0.08])
+    return cp_true, pts_obs, feats0, cp0, uvn, mask, R_GtoC, p_CinG
+
+
+def test_refine_plane_joint_reacceptance_drops_outliers():
+    """Contaminated support (features whose observations are OFF the plane)
+    must be rejected by the post-opt re-acceptance (PlaneFitting.cpp:452-481:
+    |point-to-plane| < max_error_threshold), and the Cauchy loss
+    (CauchyLoss(1.0), :256,367) must keep the refined plane near truth
+    despite the contamination."""
+    cp_true, pts_obs, feats0, cp0, uvn, mask, R_GtoC, p_CinG = _plane_obs_problem(n_out=2)
+    N = feats0.shape[0]
+    opts = PlaneRefineOptions(iters=15, sigma_px=1e-3, sigma_c=0.05)
+    cp, feats, ok, inl = refine_plane_joint(
+        jnp.asarray(cp0), jnp.asarray(feats0), jnp.asarray(uvn), jnp.asarray(mask),
+        jnp.ones(N, bool), jnp.zeros(N, bool), jnp.asarray(R_GtoC), jnp.asarray(p_CinG),
+        opts,
+    )
+    inl = np.asarray(inl)
+    assert bool(ok)                      # 10/12 survivors = max(4, ceil(0.8·12))
+    assert not inl[:2].any()             # the contaminated pair is dropped
+    assert inl[2:].all()
+    # Robust plane estimate: contamination pulled the quadratic fit by the
+    # outliers' 0.35 m offset; the Cauchy refine stays within 3 cm.
+    assert np.linalg.norm(np.asarray(cp) - cp_true) < 0.03
+
+
+def test_refine_plane_joint_group_fails_when_majority_outliers():
+    """When fewer than max(4, 0.8·n) features survive re-acceptance, the
+    whole refine reports failure (PlaneFitting.cpp:487-495) — the caller
+    must skip the plane group."""
+    cp_true, pts_obs, feats0, cp0, uvn, mask, R_GtoC, p_CinG = _plane_obs_problem(n_out=6)
+    N = feats0.shape[0]
+    opts = PlaneRefineOptions(iters=15, sigma_px=1e-3, sigma_c=0.05)
+    _, _, ok, inl = refine_plane_joint(
+        jnp.asarray(cp0), jnp.asarray(feats0), jnp.asarray(uvn), jnp.asarray(mask),
+        jnp.ones(N, bool), jnp.zeros(N, bool), jnp.asarray(R_GtoC), jnp.asarray(p_CinG),
+        opts,
+    )
+    assert not bool(ok)
+    assert int(np.asarray(inl).sum()) < 10
 
 
 def test_refine_point_on_plane_projects():
