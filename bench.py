@@ -240,6 +240,7 @@ def main_vision():
 
     n_init, n_constr, max_planes = 0, 0, 0
     stage_dev, stage_plane = [], []
+    stage_all = {}
 
     if fused:
         # One-dispatch frontend+filter program (frontend/fused.py): the
@@ -398,6 +399,8 @@ def main_vision():
             if i > WARMUP:
                 stage_dev.append(drv.last_times["device"])
                 stage_plane.append(drv.last_times["host_plane"])
+                for k, v in drv.last_times.items():
+                    stage_all.setdefault(k, []).append(v)
         wall = time.time() - (t_steady or t_loop0)
         n_timed = (n - WARMUP) * max(Bv, 1)
         fps = n_timed / wall
@@ -406,6 +409,17 @@ def main_vision():
               f"host_plane={1e3*np.mean(stage_plane):.1f}; "
               f"plane_init={n_init} constraints={n_constr} max_planes={max_planes}",
               file=sys.stderr)
+        # Full per-frame-batch wall decomposition (VERDICT r4 #3): every
+        # timed sub-stage of the dispatch window, plus the loop residue
+        # (= wall not inside step_batch — imu tiling, iterator, bookkeeping).
+        if stage_all:
+            per_fb = wall / max(n - WARMUP, 1)
+            rows = {k: 1e3 * float(np.mean(v)) for k, v in stage_all.items()}
+            inside = rows.get("device", 0.0) + rows.get("host_plane", 0.0)
+            rows["loop_residue"] = 1e3 * per_fb - inside
+            print("[bench] wall decomposition (ms per frame-batch, steady): "
+                  + " ".join(f"{k}={v:.1f}" for k, v in sorted(rows.items()))
+                  + f" | wall/frame-batch={1e3*per_fb:.1f}", file=sys.stderr)
     else:
         pipe = VisionPipeline(cfg, eng)
 

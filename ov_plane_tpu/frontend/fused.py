@@ -837,15 +837,19 @@ class FusedVisionDriver:
 
         t0 = _t.perf_counter()
         img_w = self._wire_image(imgs)
+        t_img = _t.perf_counter()
         # Payload rows are this process's LOCAL streams (== all streams when
         # single-process); imu_*/t_new carry the same local slab.
         pay = _pack_payload(
             self.vopts, self._W, self._label_ids.shape[0], imu_t, imu_w, imu_a,
             t_new, self._label_ids, self._label_pid, self._merge_from,
             self._merge_into)
+        t_pack = _t.perf_counter()
         pay_g = self._put_dp(pay) if self._img_put_target is not None else jnp.asarray(pay)
+        t_put = _t.perf_counter()
         states, banks, fevs, out, pull = self._fn(
             states, banks, fevs, img_w, pay_g)
+        t_fn = _t.perf_counter()
         if pipelined:
             prev = getattr(self, "_pending_pull", None)
             self._pending_pull = pull
@@ -859,9 +863,22 @@ class FusedVisionDriver:
         t1 = _t.perf_counter()
         (ids, uv, valid, p3, ok3, self.last_counters,
          self._R_GtoC, self._p_CinG) = _unpack(packed)
-        self.last_dbg = self.last_counters[0, 5:8]
+        t_unpack = _t.perf_counter()
         self._run_plane_detectors(ids, uv, valid, p3, ok3)
-        self.last_times = {"device": t1 - t0, "host_plane": _t.perf_counter() - t1}
+        t_det = _t.perf_counter()
+        self.last_dbg = self.last_counters[0, 5:8]
+        # Fine decomposition of the dispatch window (VERDICT r4 #3): where a
+        # headline frame-batch's wall actually goes. `dispatch_enqueue` is
+        # _fn's synchronous cost (tracing is cached; a long time here = the
+        # runtime applying BACKPRESSURE — blocking the enqueue until earlier
+        # dispatches drain, i.e. real device execution); `pull_wait` blocks on
+        # the PREVIOUS frame's device completion + device→host transfer.
+        self.last_times = {
+            "device": t1 - t0, "host_plane": t_det - t1,
+            "wire_image": t_img - t0, "pack_payload": t_pack - t_img,
+            "payload_put": t_put - t_pack, "dispatch_enqueue": t_fn - t_put,
+            "pull_wait": t1 - t_fn, "unpack": t_unpack - t1,
+        }
         return states, banks, fevs, out
 
     def step_batch_chunk(self, states, banks, fevs, imgs, imu_t, imu_w, imu_a,

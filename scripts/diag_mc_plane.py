@@ -49,7 +49,7 @@ from ov_plane_tpu.sim.trajectory import get_trajectory
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="tabletop",
-                    choices=["tabletop", "room", "corridor"])
+                    choices=["tabletop", "room", "corridor", "lowtex"])
     ap.add_argument("--dense", action="store_true")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--max-frames", type=int, default=250)

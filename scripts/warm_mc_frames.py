@@ -42,7 +42,7 @@ from ov_plane_tpu.sim.simulator import build_sim
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="tabletop",
-                    choices=["tabletop", "room", "corridor"])
+                    choices=["tabletop", "room", "corridor", "lowtex"])
     ap.add_argument("--densities", default="dense,sparse")
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args()
