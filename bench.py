@@ -54,7 +54,8 @@ jax.config.update("jax_default_matmul_precision",
 # cache makes repeat bench runs start in seconds. (cpu_aot_loader may warn
 # about host-feature mismatch for CPU entries produced by the remote compile
 # terminal; numerically validated runs have been fine.)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_bench")
+from ov_plane_tpu.utils.jaxenv import cache_dir_for
+jax.config.update("jax_compilation_cache_dir", cache_dir_for("bench"))
 
 import jax.numpy as jnp
 import numpy as np

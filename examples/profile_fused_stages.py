@@ -21,7 +21,8 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_bench")
+from ov_plane_tpu.utils.jaxenv import cache_dir_for
+jax.config.update("jax_compilation_cache_dir", cache_dir_for("bench"))
 
 import jax.numpy as jnp
 import numpy as np

@@ -33,6 +33,20 @@ def host_cpu_tag() -> str:
     return hashlib.sha1(flags.encode()).hexdigest()[:8]
 
 
+def cache_dir_for(tag: str) -> str:
+    """Host-fingerprinted persistent-cache directory for a tool tag.
+
+    Every cache directory carries the host fingerprint — including the
+    accelerator tools' dirs: a JAX_PLATFORMS="axon,cpu" process writes
+    XLA:CPU AOT entries (sim building, host eval) into the SAME directory as
+    its TPU entries, and those CPU blobs are machine-specific (see
+    host_cpu_tag). Round-5 measured consequence of the old shared dirs: the
+    bench and MC tools were loading foreign-microarch AOT code after a rig
+    migration. A migration now costs one cold compile instead.
+    """
+    return f"/tmp/jax_cache_ovplane_{tag}_{host_cpu_tag()}"
+
+
 def setup_cache(tag: str = "") -> str:
     """Point the persistent compile cache at a backend-specific directory.
 
@@ -43,8 +57,6 @@ def setup_cache(tag: str = "") -> str:
     machine they were compiled for.
     """
     plat = (os.environ.get("JAX_PLATFORMS") or "axon").split(",")[0].strip() or "axon"
-    if plat == "cpu":
-        plat = f"cpu_{host_cpu_tag()}"
-    path = f"/tmp/jax_cache_ovplane_{plat}{('_' + tag) if tag else ''}"
+    path = f"/tmp/jax_cache_ovplane_{plat}{('_' + tag) if tag else ''}_{host_cpu_tag()}"
     jax.config.update("jax_compilation_cache_dir", path)
     return path

@@ -42,7 +42,8 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane_bench")
+from ov_plane_tpu.utils.jaxenv import cache_dir_for
+jax.config.update("jax_compilation_cache_dir", cache_dir_for("bench"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,8 +107,8 @@ def scene_config(scene: str, dense: bool):
         # The regime planes exist for (VERDICT r4 next-round #1c): a
         # LOW-TEXTURE room. Walls carry only one coarse value-noise octave
         # (1 m cells — locally a featureless gradient that LK slides on, so
-        # FAST finds nothing there) plus sparse high-contrast marks (~60% of
-        # 0.8 m tiles carry one 8-14 cm dot). Trackable corners are the dots:
+        # FAST finds nothing there) plus sparse high-contrast marks (the
+        # speckle layers below). Trackable corners are the marks:
         # few, widely spaced, and plane-anchored — point geometry is weak
         # while plane clustering still gets coplanar support. Room margin
         # 1.2 m keeps the walls at 1.2-4 m (mid-range: neither the tabletop's

@@ -24,7 +24,8 @@ init_process(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, proce
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ovplane")
+from ov_plane_tpu.utils.jaxenv import cache_dir_for
+jax.config.update("jax_compilation_cache_dir", cache_dir_for("dist"))
 
 from ov_plane_tpu.frontend.fused import FusedVisionDriver  # noqa: E402
 from ov_plane_tpu.models.feature_bank import FeatureBank  # noqa: E402
