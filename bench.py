@@ -380,16 +380,22 @@ def main_vision():
         for i in range(1, n + 1):
             if i == WARMUP + 1:
                 t_steady = time.time()
+            t_prep0 = time.perf_counter()
             it, iw, ia = imu_window(i)
             tn = float(sim.cam_t_imu[i])
             img_i = next(img_iter)
+            if Bv > 1:
+                it_b, iw_b, ia_b = (np.tile(it, (Bv, 1)), np.tile(iw, (Bv, 1, 1)),
+                                    np.tile(ia, (Bv, 1, 1)))
+                tn_b = np.full(Bv, tn)
+            if i > WARMUP:
+                stage_all.setdefault("loop_prep", []).append(
+                    time.perf_counter() - t_prep0)
             # Counters come from the driver's packed pull (reading them off
             # `out` would cost one ~30 ms relay round trip EACH).
             if Bv > 1:
                 state, bank, fev, out = drv.step_batch(
-                    state, bank, fev, img_i, np.tile(it, (Bv, 1)),
-                    np.tile(iw, (Bv, 1, 1)), np.tile(ia, (Bv, 1, 1)),
-                    np.full(Bv, tn))
+                    state, bank, fev, img_i, it_b, iw_b, ia_b, tn_b)
             else:
                 state, bank, fev, out = drv.step_stream(
                     state, bank, fev, img_i, it, iw, ia, tn)

@@ -169,8 +169,14 @@ def render_frames(cfg, sim, render, n, scene="", dense=False):
                  f"_n{n}_w{cfg.cam_wh[0]}x{cfg.cam_wh[1]}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
+            # ONE decompression, views into one shared parent. The previous
+            # `[z["frames"][i] for i in range(n)]` re-decompressed the whole
+            # archive per index (NpzFile.__getitem__ is uncached) AND each
+            # basic-index view pinned its own full-array parent — 377 frames
+            # × 472 MB ≈ 178 GB, the OOM that killed the round-5 frame-warm.
+            fr = z["frames"]
             print(f"[mc] loaded {n} cached frames from {cache}", file=sys.stderr)
-            return [z["frames"][i] for i in range(n)]
+            return [fr[i] for i in range(n)]
     _, traj_pos, _ = get_trajectory(cfg.sim)
     planes = generate_planes(traj_pos, cfg.sim.min_feature_gen_distance)
     R_ItoC = np.asarray(quat_2_rot(jnp.asarray(cfg.cam_extrinsics[0:4])))
