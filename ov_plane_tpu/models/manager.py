@@ -234,7 +234,11 @@ class VioEngine:
                 sigma_px=cfg.msckf_options.sigma_pix, sigma_c=cfg.state.sigma_constraint,
                 cauchy_scale=cfg.state.plane_refine_cauchy,
                 max_error_threshold=cfg.state.plane_refine_max_error,
-                min_inlier_ratio=cfg.state.plane_refine_min_inlier_ratio),
+                min_inlier_ratio=cfg.state.plane_refine_min_inlier_ratio,
+                # sigma_px is in PIXELS; the refine residuals are NORMALIZED
+                # coordinates, whitened by focal/sigma_px ≡ the reference's
+                # sigma_px_norm (UpdaterMSCKF.cpp:279).
+                focal=float(0.5 * (cfg.cam_intrinsics[0] + cfg.cam_intrinsics[1]))),
             sigma_c_adaptive=cfg.tpu.sigma_c_adaptive,
             sigma_px=cfg.msckf_options.sigma_pix,
             sigma_c=cfg.state.sigma_constraint,

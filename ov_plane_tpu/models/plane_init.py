@@ -199,7 +199,11 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
         r_mult = jnp.asarray(opts.const_init_multi, dtype)
         n_rows = jnp.sum(rmask & fvalid[:, None])
         chi2 = ekf.innovation_chi2(st.cov, HR_u, res_u, jnp.full_like(res_u, r_mult))
-        dof = jnp.maximum(n_rows, 1)
+        # dof = rows of the projected system fed to initialize — after the
+        # per-feature point nullspaces (−3 per feature), NOT the raw
+        # measurement count (StateHelper::initialize gates on res.rows() of
+        # the compressed system, StateHelper.cpp:470-475).
+        dof = jnp.maximum(n_rows - 3 * jnp.sum(fvalid), 1)
         passed = chi2 <= opts.const_init_chi2 * table[jnp.clip(dof, 1, table.shape[0] - 1)]
         diag_ok = jnp.all(jnp.abs(jnp.diag(HL_i)) > 1e-8)
         do_init = valid & passed & diag_ok

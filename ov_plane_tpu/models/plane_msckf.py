@@ -179,10 +179,13 @@ def msckf_plane_update(state: VioState, bank: fb.FeatureBank, opts: PlaneMsckfOp
         res_up = rest2[:, D]
 
         # Gate against the shared pre-update covariance (the reference gates
-        # each group before stacking, UpdaterMSCKF.cpp:606-631).
+        # each group before stacking, UpdaterMSCKF.cpp:606-631, with the
+        # POST-projection row count as dof — res_big.rows() after the
+        # per-feature point nullspaces (−3 per feature) and the CP
+        # marginalization (−3), :613-619).
         n_rows = jnp.sum(rmask & fvalid[:, None])
         chi2 = ekf.innovation_chi2(state.cov, H_up, res_up, jnp.ones_like(res_up))
-        dof = jnp.maximum(n_rows - 3, 1)
+        dof = jnp.maximum(n_rows - 3 * jnp.sum(fvalid) - 3, 1)
         passed = chi2 <= opts.chi2_multipler * table[jnp.clip(dof, 1, table.shape[0] - 1)]
         # A degenerate group (GN blow-up, rank-deficient fit) can carry
         # non-finite rows; NaN comparisons gate it out of `passed` here, but

@@ -44,6 +44,17 @@ class PlaneRefineOptions(NamedTuple):
     sigma_px: float = 1.0
     sigma_c: float = 0.05
     slam_sigma_multi: float = 2.0   # inflation for fixed SLAM feats (PlaneFitting.cpp:330)
+    # Reprojection residuals here live in NORMALIZED image coordinates, so
+    # their whitening is focal/sigma_px — the reference passes
+    # sigma_px_norm = sigma_px/focal to optimize_plane (UpdaterMSCKF.cpp:279).
+    # focal=1.0 keeps sigma_px interpretable as a normalized sigma directly
+    # (unit-test convention); VioEngine.from_config sets the camera's mean
+    # focal. Round-5 measured consequence of leaving this at the PIXEL
+    # whitening (weight 0.5 vs the constraint's 20): the joint GN dragged
+    # support features fully onto the fitted plane, and the grouped plane
+    # updates then fed every member's coherently-biased reprojection rows to
+    # the filter — +259% position ATE on the 20-seed tabletop campaign.
+    focal: float = 1.0
     # Cauchy robust loss scale on the WHITENED residuals — the reference wraps
     # every reprojection and point-on-plane factor in ceres::CauchyLoss(1.0)
     # (PlaneFitting.cpp:256,367); IRLS weight w = 1/(1 + s/a²), s = ‖r‖².
@@ -173,7 +184,7 @@ def refine_plane_joint(cp0, feats0, uvn, mask, feat_valid, is_fixed,
     (PlaneFitting.cpp:487-495).
     """
     dtype = cp0.dtype
-    white_px = 1.0 / opts.sigma_px
+    white_px = opts.focal / opts.sigma_px
     N = feats0.shape[0]
     I3 = jnp.eye(3, dtype=dtype)
     a2 = opts.cauchy_scale**2
@@ -290,7 +301,7 @@ def refine_point_on_plane(p0, cp, uvn, mask, R_GtoC, p_CinG, opts: PlaneRefineOp
     """GN refine a single feature against a FIXED plane (UpdaterSLAM plane-
     refined triangulation). Returns refined p."""
     dtype = p0.dtype
-    white_px = 1.0 / opts.sigma_px
+    white_px = opts.focal / opts.sigma_px
     white_c = 1.0 / opts.sigma_c
     I3 = jnp.eye(3, dtype=dtype)
 

@@ -329,6 +329,17 @@ def main():
                          "CPU) — 'f32' on CPU isolates precision effects "
                          "from device effects")
     ap.add_argument("--out", default="")
+    # --- ablation knobs for localizing ON-arm accuracy effects ------------
+    ap.add_argument("--no-plane-msckf", action="store_true",
+                    help="ON arm: disable the out-of-state grouped plane-"
+                         "MSCKF updates (CP-state init + in-state rows only)")
+    ap.add_argument("--adaptive-sigma", action="store_true",
+                    help="ON arm: noise-adaptive constraint whitening "
+                         "(tpu.sigma_c_adaptive)")
+    ap.add_argument("--sigma-c", type=float, default=0.0,
+                    help="override sigma_constraint (reference real-data "
+                         "configs use 0.01 with const_init_multi 1)")
+    ap.add_argument("--const-init-multi", type=float, default=0.0)
     args = ap.parse_args()
 
     accel = _accel_device()
@@ -341,6 +352,14 @@ def main():
                "img_noise": args.img_noise, "dtype": args.dtype, "cells": {}}
     for dense in [d.strip() == "dense" for d in args.densities.split(",")]:
         cfg, render = scene_config(args.scene, dense)
+        if args.no_plane_msckf:
+            cfg.state.use_plane_constraint_msckf = False
+        if args.adaptive_sigma:
+            cfg.tpu.sigma_c_adaptive = True
+        if args.sigma_c > 0:
+            cfg.state.sigma_constraint = args.sigma_c
+        if args.const_init_multi > 0:
+            cfg.state.const_init_multi = args.const_init_multi
         t0 = time.time()
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
