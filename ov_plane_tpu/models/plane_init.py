@@ -133,6 +133,7 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
             masks = masks & fvalid[:, None]
         cp0, cond, fit_ok = fit_plane_lsq(p_f, fvalid)
         valid = valid & fit_ok & (cond <= opts.plane_init_max_cond) & (jnp.sum(fvalid) >= opts.plane_init_min_feat)
+        p_tri = p_f            # PRE-refine triangulations (honest noise scale)
         if opts.use_refine_plane_feat:
             cp, p_f2, ref_ok, inl = refine_plane_joint(
                 cp0, p_f, uvn, masks, fvalid, jnp.zeros_like(fvalid),
@@ -156,10 +157,21 @@ def plane_delayed_init(state: VioState, bank: fb.FeatureBank, opts: PlaneInitOpt
 
         sigma_c_run = jnp.asarray(opts.sigma_c, dtype)
         if opts.sigma_c_adaptive:
+            # Tilt-aware whitening — see plane_msckf.py: σ_eff² = σc² + σ_z²
+            # + (‖cp‖·σ_z/s_lat)², charging the init for the patch-geometry
+            # plane error its support can actually constrain.
             d_pl = jnp.maximum(jnp.linalg.norm(cp), 1e-9)
-            r_pp = (p_f @ (cp / d_pl) - d_pl) * fvalid
-            s2 = jnp.sum(r_pp**2) / jnp.maximum(jnp.sum(fvalid), 1)
-            sigma_c_run = jnp.sqrt(opts.sigma_c**2 + s2)
+            n_pl = cp / d_pl
+            fv = fvalid.astype(dtype)
+            F_n = jnp.maximum(jnp.sum(fv), 1.0)
+            r_pp = (p_tri @ n_pl - d_pl) * fv   # pre-refine scatter
+            s2_z = jnp.sum(r_pp**2) / F_n
+            c_lat = jnp.sum(p_f * fv[:, None], axis=0) / F_n
+            rel = (p_f - c_lat) * fv[:, None]
+            lat = rel - (rel @ n_pl)[:, None] * n_pl[None, :]
+            s2_lat = jnp.maximum(jnp.sum(lat**2) / F_n, 1e-6)
+            tilt = d_pl * jnp.sqrt(s2_z / s2_lat)
+            sigma_c_run = jnp.sqrt(opts.sigma_c**2 + s2_z + tilt**2)
 
         # Stacked Jacobians with CP in the H_f[:,3:6] columns (not in state).
         def jac_one(uv_f, m_f, pf):

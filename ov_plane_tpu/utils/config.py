@@ -220,12 +220,13 @@ class TpuOptions:
     # measurement rows (empty = off). Requires running under jax.set_mesh.
     shard_axis: str = ""
     use_info_compression: bool = False
-    # Noise-adaptive constraint sigma (TPU-native extension, no reference
-    # analogue — the reference computes the support's point-to-plane scatter
-    # but only prints it, PlaneFitting.cpp:498-505): when on, each plane
-    # group's constraint rows are whitened with
-    # sqrt(sigma_constraint² + mean residual²) instead of the fixed sigma,
-    # so contaminated/noisy support automatically weakens its own constraint.
+    # Tilt-aware adaptive constraint sigma (TPU-native extension, no
+    # reference analogue — the reference computes the support's scatter but
+    # only prints it, PlaneFitting.cpp:498-505): each plane group's
+    # constraint rows are whitened with
+    # sqrt(sigma_c² + σ_z² + (‖cp‖·σ_z/s_lat)²) — scatter PLUS the
+    # patch-geometry tilt error a small close-range support cannot
+    # constrain (the round-5 tabletop mechanism; see BASELINE.md).
     sigma_c_adaptive: bool = False
 
 

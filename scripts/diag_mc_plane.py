@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--img-noise", type=float, default=0.01)
     ap.add_argument("--every", type=int, default=25)
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--adaptive-sigma", action="store_true")
     args = ap.parse_args()
 
     dt = jnp.float64
@@ -72,6 +73,8 @@ def main():
     cp_gt = np.asarray(planes_gt.normal) * np.asarray(planes_gt.d)[:, None]
     print(f"[diag] {cp_gt.shape[0]} gt planes")
 
+    if args.adaptive_sigma:
+        cfg.tpu.sigma_c_adaptive = True
     cfg.state.use_plane_constraint = not args.no_planes
     cfg.state.use_plane_slam_feats = not args.no_planes
     eng = VioEngine.from_config(cfg)
@@ -122,9 +125,29 @@ def main():
             lbl = int(np.sum(np.asarray(drv._label_pid[0]) >= 0))
             bank_pl = int(np.sum(np.asarray(bank.planeid) >= 0))
             perr = np.linalg.norm(np.asarray(state.imu[4:7]) - np.asarray(s.gt_p[i]))
+            cnt = drv.last_counters[0]
             line = (f"f{i:3d} |perr|={perr:.4f} host_planes={npl} labels={lbl} "
                     f"bank_pid={bank_pl} state_planes="
-                    f"{int(np.asarray(state.plane_active).sum())}")
+                    f"{int(np.asarray(state.plane_active).sum())} "
+                    f"init={int(cnt[0])} constr={int(cnt[1])}")
+            # Signed point-to-gt-plane distance of this frame's triangulated
+            # points (frontend output BEFORE any plane machinery): a nonzero
+            # MEAN is a common-mode triangulation bias — information the
+            # constraint rows then inject coherently into the filter.
+            ids_t, _, p3_t, ok_t = drv.last_tri[0]
+            sel = ok_t & (ids_t >= 0)
+            if sel.any():
+                pts_t = np.asarray(p3_t)[sel]
+                n_gt = np.asarray(planes_gt.normal)
+                d_gt = np.asarray(planes_gt.d)
+                dists = pts_t @ n_gt.T - d_gt[None, :]          # [N, P] signed
+                j_near = np.argmin(np.abs(dists), axis=1)
+                sd = dists[np.arange(len(pts_t)), j_near]
+                line_tri = (f" tri_bias={sd.mean():+.4f}±{sd.std():.4f}"
+                            f" (n={len(sd)})")
+            else:
+                line_tri = " tri_bias=n/a"
+            line += line_tri
             cps = np.asarray(state.plane_cp)
             cov_d = np.asarray(jnp.diag(state.cov))
             for pslot in np.where(np.asarray(state.plane_active))[0]:

@@ -340,6 +340,9 @@ def main():
                     help="override sigma_constraint (reference real-data "
                          "configs use 0.01 with const_init_multi 1)")
     ap.add_argument("--const-init-multi", type=float, default=0.0)
+    ap.add_argument("--msckf-min-feat", type=int, default=0,
+                    help="override plane_msckf_min_feat (reference real-data "
+                         "configs use 8; the sim default is 5)")
     args = ap.parse_args()
 
     accel = _accel_device()
@@ -360,6 +363,8 @@ def main():
             cfg.state.sigma_constraint = args.sigma_c
         if args.const_init_multi > 0:
             cfg.state.const_init_multi = args.const_init_multi
+        if args.msckf_min_feat > 0:
+            cfg.state.plane_msckf_min_feat = args.msckf_min_feat
         t0 = time.time()
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
