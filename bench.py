@@ -227,9 +227,16 @@ def main_vision():
           f"fused={fused} batch={Bv}", file=sys.stderr)
 
     W = cfg.tpu.max_imu_per_frame
+    # Host copies of the per-frame scalars: indexing the device-resident sim
+    # arrays inside the loop (int(sim.imu_window_start[i]),
+    # float(sim.cam_t_imu[i])) costs ~2 relay round-trips PER FRAME through
+    # the axon tunnel — measured as the entire 160 ms/frame-batch
+    # "loop_prep" in the round-5 wall decomposition.
+    win_start_h = np.asarray(sim.imu_window_start)
+    cam_t_h = np.asarray(sim.cam_t_imu)
 
     def imu_window(i):
-        s0 = int(sim.imu_window_start[i])
+        s0 = int(win_start_h[i])
         it = np.full(W, np.inf)
         iw = np.zeros((W, 3))
         ia = np.zeros((W, 3))
@@ -330,7 +337,7 @@ def main_vision():
                 it_c = np.stack([np.tile(w[0], (Bv, 1)) for w in wins])
                 iw_c = np.stack([np.tile(w[1], (Bv, 1, 1)) for w in wins])
                 ia_c = np.stack([np.tile(w[2], (Bv, 1, 1)) for w in wins])
-                tn_c = np.stack([np.full(Bv, float(sim.cam_t_imu[c * K + k + 1]))
+                tn_c = np.stack([np.full(Bv, float(cam_t_h[c * K + k + 1]))
                                  for k in range(K)])
                 state, bank, fev, out = drv.step_batch_chunk(
                     state, bank, fev, next(img_iter), it_c, iw_c, ia_c, tn_c)
@@ -382,7 +389,7 @@ def main_vision():
                 t_steady = time.time()
             t_prep0 = time.perf_counter()
             it, iw, ia = imu_window(i)
-            tn = float(sim.cam_t_imu[i])
+            tn = float(cam_t_h[i])
             img_i = next(img_iter)
             if Bv > 1:
                 it_b, iw_b, ia_b = (np.tile(it, (Bv, 1)), np.tile(iw, (Bv, 1, 1)),
