@@ -513,6 +513,7 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         state, n_slam_marg = marginalize_lost_slam(state, bank, eng.aruco_max_id)
 
     n_plane_merges = jnp.zeros((), jnp.int32)
+    state_preplane, bank_preplane = state, bank
     if eng.use_planes:
         # 5. Plane housekeeping + delayed plane initialization.
         # 5a. Frontend plane-id merges FIRST (VioManager.cpp:516-533 applies
@@ -555,6 +556,27 @@ def step(eng: VioEngine, state: VioState, bank: fb.FeatureBank, frame: FrameData
         sel_valid_main = sel_valid & ~(consumed_sel & do_pm)
         n_plane_constraints = n_plane_constraints + jnp.sum(consumed_sel & do_pm)
         n_plane_dropped = n_plane_dropped + jnp.where(do_pm, n_pm_drop, 0).astype(jnp.int32)
+
+    if eng.use_planes:
+        # f32 poison firewall (round-5 MC campaign: 1/20 ON-arm seeds NaN'd
+        # in the room-sparse/lowtex cells): if any plane stage (merge,
+        # unseen-marginalize, delayed init, grouped updates) produced a
+        # non-finite state, revert this frame's plane stages entirely and
+        # fall through to the classic update on the pre-plane state — the
+        # in-jit analogue of the reference's fail-fast covariance checks
+        # (StateHelper.cpp:108-118 std::exits; a vmapped batch member cannot,
+        # so the frame degrades to planes-off instead of poisoning the rest
+        # of the replay).
+        plane_finite = (jnp.all(jnp.isfinite(state.cov))
+                        & jnp.all(jnp.isfinite(state.imu))
+                        & jnp.all(jnp.isfinite(
+                            jnp.where(state.plane_active[:, None], state.plane_cp, 0.0))))
+        state = jax.tree.map(lambda a, b: jnp.where(plane_finite, a, b), state, state_preplane)
+        bank = jax.tree.map(lambda a, b: jnp.where(plane_finite, a, b), bank, bank_preplane)
+        sel_valid_main = jnp.where(plane_finite, sel_valid_main, sel_valid)
+        n_plane_constraints = jnp.where(plane_finite, n_plane_constraints, 0)
+        n_plane_init = jnp.where(plane_finite, n_plane_init, 0)
+        n_plane_merges = jnp.where(plane_finite, n_plane_merges, 0)
 
     # 6b. MSCKF update (plane rows for features whose plane is a state).
     sel_uv = bank.uv[sel_idx]
